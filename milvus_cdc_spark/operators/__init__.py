@@ -1,0 +1,8 @@
+"""Dataflow + data-pipeline operators."""
+
+from milvus_cdc_spark.operators.dedup import lww_dedup  # noqa: F401
+from milvus_cdc_spark.operators.filters import (  # noqa: F401
+    scope_filter,
+    supported_dml,
+)
+from milvus_cdc_spark.operators.salting import salted_repartition  # noqa: F401

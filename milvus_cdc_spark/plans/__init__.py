@@ -1,0 +1,5 @@
+"""Driver-side orchestration: metastore, the replication apply plan, tasks."""
+
+from milvus_cdc_spark.plans.apply import ReplicateJob  # noqa: F401
+from milvus_cdc_spark.plans.metastore import Metastore  # noqa: F401
+from milvus_cdc_spark.plans.task import TaskManager  # noqa: F401

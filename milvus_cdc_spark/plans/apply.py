@@ -1,0 +1,306 @@
+"""The replication apply plan — the hot path (SURVEY.md §3.2).
+
+One micro-batch = one Catalyst plan:
+
+    read offset range (pushed-down seq predicate)
+      → scope + msg-type filters            (T1, T2)
+      → salted repartition of hot repos     (skew rule)
+      → LWW dedup window per (repo, path)   (O1/O2/K4 collapsed)
+      → sha256 / normalize pandas UDFs      (vectorized row transforms)
+      → icebox MERGE INTO                   (K1: atomic snapshot commit)
+      → lineage + metrics + checkpoint      (K5, M1, M2)
+
+DDL events are applied transactionally BEFORE the data that needs them:
+each micro-batch is capped at the first schema event in its range, the
+DML prefix is merged, then the DDL is applied as its own commit — the
+analog of the reference blocking data until a collection's create event
+is processed (``replicate_channel_manager.go:1457-1468``) and of the
+dedicated replicate channel ordering (``server/cdc_impl.go:990-1068``).
+
+Exactly-once: the icebox snapshot carries ``(task_id, batch_id,
+offset_end)`` properties; on resume, a data commit newer than the
+checkpoint is detected and the checkpoint is fast-forwarded instead of
+re-applied (batch-id fencing). Even without the fence, replaying a range
+through deterministic dedup + MERGE is idempotent — both layers are
+tested (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.functions.hashing import content_sha256, normalize_content
+from milvus_cdc_spark.operators.dedup import lww_dedup
+from milvus_cdc_spark.operators.filters import scope_filter, supported_dml
+from milvus_cdc_spark.operators.salting import salted_repartition
+from milvus_cdc_spark.plans.metastore import Metastore
+from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
+from milvus_cdc_spark.sources.icebox import IceboxTable
+
+# FIXTURES.md §3 — the target table's base schema.
+TARGET_BASE_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string, "
+    "content_sha256 string, last_event_seq bigint"
+)
+KEY_COLS = ["repo", "path"]
+
+# log columns that feed same-named target columns
+_PAYLOAD_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+@dataclass
+class ReplicateJob:
+    """One replication task: an event-log source applied to one icebox
+    table. The analog of the reference's task + ReplicateEntity
+    (``server/cdc_impl.go:749-850``)."""
+
+    spark: SparkSession
+    source: Callable[[SparkSession, int, int], DataFrame]  # (spark, lo, hi] -> events
+    table_root: str
+    metastore: Metastore
+    task_id: str = "task0"
+    batch_size: int = 100_000
+    num_buckets: int = 32
+    salt_factor: int = 0  # 0 = rely on AQE only; >0 = explicit hot-repo salting
+    repo_pattern: str | None = None
+    exclude_repos: list[str] | None = None
+    normalize: bool = False
+    collect_metrics: bool = True
+    log_max_seq: int | None = None  # for lag computation
+    _table: IceboxTable | None = field(default=None, repr=False)
+
+    # ------------------------------------------------------------ table
+    def table(self) -> IceboxTable:
+        if self._table is None:
+            if not IceboxTable.exists(self.table_root):
+                IceboxTable.create(
+                    self.spark,
+                    self.table_root,
+                    TARGET_BASE_SCHEMA,
+                    key_cols=KEY_COLS,
+                    num_buckets=self.num_buckets,
+                    properties={"task_id": self.task_id, "batch_id": -1, "offset_end": -1},
+                )
+            self._table = IceboxTable(self.spark, self.table_root)
+        return self._table
+
+    # -------------------------------------------------------------- run
+    def run(self, until_seq: int, max_batches: int | None = None) -> dict:
+        """Replay the log through ``until_seq`` (inclusive) in micro-batches,
+        resuming from the checkpoint. Returns summary stats."""
+        table = self.table()
+        ckpt = self.metastore.load_checkpoint(self.task_id)
+        lo = int(ckpt.get("global_offset", -1))
+        batch_id = ckpt["batch_id"] + 1
+
+        # batch-id fence: data commit landed but checkpoint write crashed →
+        # fast-forward the checkpoint from snapshot properties, don't re-apply.
+        props = table.properties
+        if int(props.get("batch_id", -1)) >= batch_id and int(props.get("offset_end", -1)) > lo:
+            lo = int(props["offset_end"])
+            batch_id = int(props["batch_id"]) + 1
+            self.metastore.save_checkpoint(
+                self.task_id, batch_id - 1, {}, global_offset=lo
+            )
+
+        batches = 0
+        total_rows = 0
+        t0 = time.time()
+        while lo < until_seq and (max_batches is None or batches < max_batches):
+            hi = min(lo + self.batch_size, until_seq)
+            applied_hi, rows = self.apply_batch(batch_id, lo, hi)
+            lo = applied_hi
+            batch_id += 1
+            batches += 1
+            total_rows += rows
+            if self.metastore.load_checkpoint(self.task_id).get("dropped"):
+                break  # drop_table event: positions frozen, task ends
+        dt = time.time() - t0
+        return {
+            "batches": batches,
+            "events_applied": total_rows,
+            "seconds": dt,
+            "events_per_sec": total_rows / dt if dt > 0 else None,
+            "final_offset": lo,
+        }
+
+    # ------------------------------------------------------ one batch
+    def apply_batch(self, batch_id: int, lo: int, hi: int) -> tuple[int, int]:
+        """Apply events in (lo, hi]; returns (offset applied through, rows in).
+
+        If a DDL event sits inside the range, the batch is capped at it:
+        DML prefix first, then the DDL as its own commit — DDL-before-DML.
+        """
+        events = self.source(self.spark, lo, hi)
+        events = scope_filter(events, self.repo_pattern, self.exclude_repos)
+
+        ddl_rows = (
+            events.filter(F.col("event_type").isin(*DDL_TYPES))
+            .select("event_seq", "event_type", "schema_change")
+            .orderBy("event_seq")
+            .limit(1)
+            .collect()
+        )
+        ddl = ddl_rows[0] if ddl_rows else None
+        data_hi = (ddl["event_seq"] - 1) if ddl is not None else hi
+
+        rows_in = 0
+        if data_hi > lo:
+            rows_in = self._apply_dml(batch_id, lo, data_hi, events)
+
+        applied_hi = data_hi
+        if ddl is not None:
+            self._apply_ddl(ddl["event_type"], ddl["schema_change"])
+            applied_hi = ddl["event_seq"]
+            self.metastore.save_checkpoint(
+                self.task_id, batch_id, {}, global_offset=applied_hi
+            )
+        return applied_hi, rows_in
+
+    def _apply_dml(self, batch_id: int, lo: int, hi: int, events: DataFrame) -> int:
+        table = self.table()
+        dml = supported_dml(events).filter(
+            (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
+        )
+        if self.salt_factor > 1:
+            shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            dml = salted_repartition(dml, "repo", shuffle_n, self.salt_factor)
+
+        # per-partition stats in ONE job: counts + offset ranges (drives
+        # checkpoint positions, lineage, metrics — M1/M2/K5).
+        stats = []
+        if self.collect_metrics:
+            stats = (
+                dml.groupBy("partition_id")
+                .agg(
+                    F.count("*").alias("rows_in"),
+                    F.min("event_seq").alias("min_seq"),
+                    F.max("event_seq").alias("max_seq"),
+                    F.sum(F.octet_length("content")).alias("bytes"),
+                )
+                .collect()
+            )
+            if not stats:
+                return 0
+
+        changes = self._build_changes(dml)
+        t0 = time.time()
+        snapshot_id = table.merge(
+            changes,
+            properties={
+                "task_id": self.task_id,
+                "batch_id": batch_id,
+                "offset_start": lo,
+                "offset_end": hi,
+            },
+        )
+        dt = time.time() - t0
+
+        now = time.time()
+        positions = {int(r["partition_id"]): int(r["max_seq"]) for r in stats}
+        rows_total = int(sum(r["rows_in"] for r in stats)) if stats else 0
+        self.metastore.append_lineage(
+            [
+                {
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "partition_id": int(r["partition_id"]),
+                    "offset_start": int(r["min_seq"]),
+                    "offset_end": int(r["max_seq"]),
+                    "snapshot_id": snapshot_id,
+                    "committed_ts": now,
+                }
+                for r in stats
+            ]
+        )
+        lag_base = self.log_max_seq
+        self.metastore.append_metrics(
+            [
+                {
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "partition_id": int(r["partition_id"]),
+                    "rows_in": int(r["rows_in"]),
+                    "rows_applied": int(r["rows_in"]),
+                    "bytes": int(r["bytes"] or 0),
+                    "events_per_sec": (rows_total / dt) if dt > 0 else None,
+                    "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
+                }
+                for r in stats
+            ]
+        )
+        self.metastore.save_checkpoint(
+            self.task_id, batch_id, positions, global_offset=hi
+        )
+        return rows_total
+
+    def _build_changes(self, dml: DataFrame) -> DataFrame:
+        """LWW dedup + vectorized payload transforms → merge-ready changes."""
+        deduped = lww_dedup(dml, KEY_COLS)
+        content = F.col("content")
+        if self.normalize:
+            content = normalize_content(content)
+        target = self.table().schema
+        cols = []
+        for fld in target.fields:
+            if fld.name == "content_sha256":
+                cols.append(content_sha256(content).alias("content_sha256"))
+            elif fld.name == "content":
+                cols.append(content.alias("content"))
+            elif fld.name == "last_event_seq":
+                cols.append(F.col("event_seq").cast("bigint").alias("last_event_seq"))
+            elif fld.name in _PAYLOAD_COLS:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:  # evolved column the log payload doesn't carry
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return deduped.select(*cols, F.col("__deleted"))
+
+    # -------------------------------------------------------------- DDL
+    def _apply_ddl(self, event_type: str, schema_change: str | None) -> None:
+        """Apply one schema event. All operations are idempotent-by-check,
+        mirroring the reference's describe-before-create DDL handlers
+        (``core/writer/milvus_handler.go:114-593``)."""
+        table = self.table()
+        payload = json.loads(schema_change) if schema_change else {}
+        if event_type == "create_table":
+            IceboxTable.create(
+                self.spark, self.table_root, TARGET_BASE_SCHEMA, KEY_COLS,
+                num_buckets=self.num_buckets, if_not_exists=True,
+            )
+        elif event_type == "add_column":
+            table.add_column(payload["name"], payload.get("type", "string"))
+        elif event_type == "type_widen":
+            table.widen_column(payload["name"], payload["type"])
+        elif event_type == "drop_table":
+            table.drop()
+            self.metastore.save_checkpoint(self.task_id, -1, {}, dropped=True)
+        else:
+            raise ValueError(f"unknown DDL event {event_type}")
+
+def parquet_source(log_path: str) -> Callable[[SparkSession, int, int], DataFrame]:
+    """Event source over a materialized parquet log — range predicate is
+    pushed to the scan (seek analog)."""
+
+    def read(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+        df = spark.read.schema(EVENT_SCHEMA).parquet(log_path)
+        return df.filter((F.col("event_seq") > lo) & (F.col("event_seq") <= hi))
+
+    return read
+
+
+def generated_source(**gen_kwargs) -> Callable[[SparkSession, int, int], DataFrame]:
+    """Lazy generator source: every column is a pure function of
+    event_seq, so slicing by seq range IS the seek — nothing materialized.
+    This is how the benchmark replays 10^8+ events."""
+    from milvus_cdc_spark.sources.event_log import generate_events
+
+    def read(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+        return generate_events(spark, hi - lo, start_seq=lo + 1, **gen_kwargs)
+
+    return read

@@ -1,0 +1,171 @@
+"""The ordered, partitioned change-event log — the engine's streaming input.
+
+This is the analog of the reference's MQ pchannels + dedicated replicate
+channel (``core/msgdispatcher/dispatcher.go:82-148`` consume+seek;
+``server/configs/cdc.yaml:35`` the op channel). Design decisions:
+
+- ``event_seq`` is globally unique and strictly increasing within a
+  partition. This single schema invariant replaces the reference's entire
+  hybrid-timestamp machinery: the ts-monotonicity rewrite
+  (``replicate_channel_manager.go:1846-1913``), the per-channel max-ts
+  tracker (``core/reader/ts_manager.go``), and TimeTick generation.
+- DDL / schema-evolution events live ONLY in partition 0 (the analog of
+  the dedicated replicate channel), which makes the reference's N-channel
+  drop barrier (``core/reader/data_barrier.go``) structurally unnecessary.
+- Generation is 100% lazy Spark column expressions over ``spark.range`` —
+  zero Python per row — so the benchmark can replay 10^8..10^10 events
+  without ever materializing the log.
+
+Determinism: every column is a pure function of (event_seq, seed) via
+xxhash64/md5, so two runs — or a run at local[8] vs local[32] — see the
+exact same log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("event_seq", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("schema_change", T.StringType(), True),
+        T.StructField("event_ts", T.TimestampType(), True),
+    ]
+)
+
+DML_TYPES = ("insert", "update", "delete")
+DDL_TYPES = ("create_table", "add_column", "type_widen", "drop_table")
+
+_LANGS = ["py", "go", "java", "md", "rs", "c", "ts"]
+
+
+def generate_events(
+    spark: SparkSession,
+    n_events: int,
+    *,
+    num_partitions: int = 8,
+    num_keys: int = 10_000,
+    seed: int = 42,
+    ddl_every: int | None = None,
+    hot_repo_pct: int = 30,
+    content_repeat: int = 8,
+    start_seq: int = 0,
+) -> DataFrame:
+    """Deterministic synthetic change-event log as a lazy DataFrame.
+
+    Event mix follows FIXTURES.md §2: ~70% insert/update, ~25% delete,
+    ~5% re-insert of a (possibly) deleted key; one hot repo (repo id 0)
+    owns ``hot_repo_pct``% of keys — the skew/salting test case.
+
+    ``ddl_every`` interleaves an ``add_column`` event every N seqs
+    (partition 0), exercising the DDL-before-DML ordering rule.
+    """
+    df = spark.range(start_seq, start_seq + n_events).withColumnRenamed("id", "event_seq")
+    s = F.lit(seed)
+
+    # -- key identity: key_id -> (repo, path, lang), Zipf-ish hot repo.
+    key_id = F.pmod(F.xxhash64("event_seq", s, F.lit("key")), F.lit(num_keys))
+    is_hot = F.pmod(key_id, F.lit(100)) < F.lit(hot_repo_pct)
+    repo_id = F.when(is_hot, F.lit(0)).otherwise(F.pmod(key_id, F.lit(997)) + 1)
+    repo = F.concat(F.lit("org"), F.pmod(repo_id, F.lit(10)), F.lit("/repo"), repo_id)
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(key_id, F.lit(len(_LANGS))) + 1).cast("int")
+    )
+    path = F.concat(
+        F.lit("src/dir"), F.pmod(key_id, F.lit(100)), F.lit("/file_"), key_id,
+        F.lit("."), lang,
+    )
+
+    # -- event type mix (pure function of seq+seed).
+    r = F.pmod(F.xxhash64("event_seq", s, F.lit("type")), F.lit(100))
+    event_type = (
+        F.when(r < 40, F.lit("insert"))
+        .when(r < 70, F.lit("update"))
+        .when(r < 95, F.lit("delete"))
+        .otherwise(F.lit("insert"))  # re-insert slot (resurrection test)
+    )
+
+    # -- payload: 40-hex commit + pseudo-source content, all JVM-side.
+    commit = F.substring(
+        F.concat(F.md5(F.concat(repo, path, F.col("event_seq").cast("string"))),
+                 F.md5(F.concat(F.col("event_seq").cast("string"), s.cast("string")))),
+        1, 40,
+    )
+    body_line = F.md5(F.concat(F.lit("body"), F.col("event_seq").cast("string"), repo))
+    content = F.concat(
+        F.lit("// "), repo, F.lit("/"), path, F.lit(" @ "), commit, F.lit("\n"),
+        F.repeat(F.concat(body_line, F.lit("\n")), content_repeat),
+    )
+
+    is_delete = event_type == "delete"
+    partition_id = F.pmod(F.xxhash64(repo), F.lit(num_partitions)).cast("int")
+    event_ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("event_seq"))
+
+    out = df.select(
+        partition_id.alias("partition_id"),
+        F.col("event_seq"),
+        event_type.alias("event_type"),
+        repo.alias("repo"),
+        path.alias("path"),
+        F.when(~is_delete, commit).alias("commit"),
+        lang.alias("lang"),
+        F.when(~is_delete, content).alias("content"),
+        F.lit(None).cast("string").alias("schema_change"),
+        event_ts.alias("event_ts"),
+    )
+
+    if ddl_every:
+        # Rewrite every ddl_every-th event into an add_column DDL event in
+        # partition 0 (the replicate-channel analog). Column name varies by
+        # seq so repeated DDLs are distinct.
+        is_ddl = F.pmod(F.col("event_seq"), F.lit(ddl_every)) == F.lit(ddl_every - 1)
+        col_ix = (F.col("event_seq") / F.lit(ddl_every)).cast("long")
+        schema_change = F.concat(
+            F.lit('{"table":"code_files","op":"add_column","name":"extra_'),
+            col_ix,
+            F.lit('","type":"string"}'),
+        )
+        out = out.select(
+            F.when(is_ddl, F.lit(0)).otherwise(F.col("partition_id")).alias("partition_id"),
+            "event_seq",
+            F.when(is_ddl, F.lit("add_column")).otherwise(F.col("event_type")).alias("event_type"),
+            F.when(is_ddl, F.lit(None)).otherwise(F.col("repo")).alias("repo"),
+            F.when(is_ddl, F.lit(None)).otherwise(F.col("path")).alias("path"),
+            F.when(is_ddl, F.lit(None)).otherwise(F.col("commit")).alias("commit"),
+            F.when(is_ddl, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
+            F.when(is_ddl, F.lit(None)).otherwise(F.col("content")).alias("content"),
+            F.when(is_ddl, schema_change).otherwise(F.lit(None)).alias("schema_change"),
+            "event_ts",
+        )
+
+    return out
+
+
+def write_event_log(df: DataFrame, path: str) -> None:
+    """Materialize a log for resumability tests: parquet sorted by
+    event_seq so min/max row-group stats prune range scans."""
+    df.repartitionByRange(8, "event_seq").sortWithinPartitions("event_seq").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def read_event_range(
+    spark: SparkSession, path: str, lo: int, hi: int
+) -> DataFrame:
+    """Seek + tail: events with lo < event_seq <= hi.
+
+    The range predicate reaches the parquet scan (PushedFilters) so only
+    row groups overlapping the offset window are read — the Spark analog
+    of the reference's MQ seek (``dispatcher.go:120-140``).
+    """
+    df = spark.read.schema(EVENT_SCHEMA).parquet(path)
+    return df.filter((F.col("event_seq") > lo) & (F.col("event_seq") <= hi))
