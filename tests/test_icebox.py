@@ -1,0 +1,113 @@
+"""icebox table-format unit tests: merge semantics, bucket pruning,
+schema evolution, time travel, commit conflicts."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.sources.icebox import CommitConflictError, IceboxTable
+
+SCHEMA = "repo string, path string, v bigint"
+
+
+def _mk(spark, tmp, name="t", buckets=8):
+    return IceboxTable.create(
+        spark, os.path.join(tmp, name), SCHEMA, ["repo", "path"], num_buckets=buckets
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA + ", __deleted boolean")
+
+
+def test_merge_upsert_update_delete(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    t.merge(_changes(spark, [("a", "1", 1, False), ("b", "2", 2, False)]))
+    t.merge(_changes(spark, [("a", "1", 10, False), ("b", "2", 0, True), ("c", "3", 3, False)]))
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", "1"): 10, ("c", "3"): 3}
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_base):
+    """Copy-on-write pruning: untouched buckets keep their exact files —
+    the property that keeps 100 TB merges O(touched data)."""
+    t = _mk(spark, tmp_base, buckets=16)
+    big = spark.range(2000).select(
+        F.concat(F.lit("r"), F.col("id") % 50).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.col("id").alias("v"),
+        F.lit(False).alias("__deleted"),
+    )
+    t.merge(big)
+    files_before = {b: [f["path"] for f in fs] for b, fs in t.snap.buckets.items()}
+    # touch exactly one key
+    t.merge(_changes(spark, [("r1", "1", 999, False)]))
+    files_after = {b: [f["path"] for f in fs] for b, fs in t.snap.buckets.items()}
+    changed = [b for b in files_before if files_before[b] != files_after.get(b)]
+    assert len(changed) == 1  # only the bucket holding ("r1","1")
+    untouched = [b for b in files_before if b not in changed]
+    assert all(files_before[b] == files_after[b] for b in untouched)
+
+
+def test_time_travel(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    s1 = t.merge(_changes(spark, [("a", "1", 1, False)]))
+    s2 = t.merge(_changes(spark, [("a", "1", 2, False)]))
+    assert t.read(s1).collect()[0]["v"] == 1
+    assert t.read(s2).collect()[0]["v"] == 2
+
+
+def test_add_column_reads_null_for_old_files(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    t.merge(_changes(spark, [("a", "1", 1, False)]))
+    t.add_column("stars", "int")
+    row = t.read().collect()[0]
+    assert row["stars"] is None
+    # new writes carry the column
+    ch = spark.createDataFrame(
+        [("b", "2", 2, 5, False)], SCHEMA + ", stars int, __deleted boolean"
+    )
+    t.merge(ch)
+    got = {r["path"]: r["stars"] for r in t.read().collect()}
+    assert got == {"1": None, "2": 5}
+
+
+def test_widen_column_upcasts_old_files(spark, tmp_base):
+    t = IceboxTable.create(
+        spark, os.path.join(tmp_base, "w"), "repo string, path string, v int",
+        ["repo", "path"], num_buckets=4,
+    )
+    ch = spark.createDataFrame(
+        [("a", "1", 7, False)], "repo string, path string, v int, __deleted boolean"
+    )
+    t.merge(ch)
+    t.widen_column("v", "bigint")
+    assert t.schema["v"].dataType.simpleString() == "bigint"
+    assert t.read().collect()[0]["v"] == 7
+    with pytest.raises(ValueError):
+        t.widen_column("repo", "int")
+
+
+def test_commit_conflict_detected(spark, tmp_base):
+    root = os.path.join(tmp_base, "c")
+    t1 = IceboxTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=4)
+    t2 = IceboxTable(spark, root)  # second writer handle, stale after t1 commits
+    t1.merge(_changes(spark, [("a", "1", 1, False)]))
+    with pytest.raises(CommitConflictError):
+        t2.merge(_changes(spark, [("b", "2", 2, False)]))
+
+
+def test_create_if_not_exists_idempotent(spark, tmp_base):
+    root = os.path.join(tmp_base, "i")
+    IceboxTable.create(spark, root, SCHEMA, ["repo", "path"])
+    IceboxTable.create(spark, root, SCHEMA, ["repo", "path"], if_not_exists=True)
+    with pytest.raises(FileExistsError):
+        IceboxTable.create(spark, root, SCHEMA, ["repo", "path"])
+
+
+def test_empty_merge_no_new_snapshot(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    sid = t.snap.snapshot_id
+    out = t.merge(_changes(spark, []))
+    assert out == sid

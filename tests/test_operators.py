@@ -1,0 +1,91 @@
+"""Unit tests for the dataflow operators (SURVEY.md §2.3/§2.4 analogs)."""
+
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.operators.dedup import lww_dedup
+from milvus_cdc_spark.operators.filters import ddl_events, scope_filter, supported_dml
+from milvus_cdc_spark.operators.salting import salted_repartition
+
+EV = (
+    "partition_id int, event_seq long, event_type string, repo string, "
+    "path string, commit string, lang string, content string, "
+    "schema_change string, event_ts timestamp"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, EV)
+
+
+def test_lww_dedup_keeps_max_seq(spark):
+    df = _df(
+        spark,
+        [
+            (0, 1, "insert", "r", "p", "c1", "py", "v1", None, None),
+            (0, 5, "update", "r", "p", "c5", "py", "v5", None, None),
+            (0, 3, "update", "r", "p", "c3", "py", "v3", None, None),
+            (0, 2, "insert", "r2", "p", "c2", "go", "v2", None, None),
+        ],
+    )
+    out = {(r["repo"], r["path"]): (r["event_seq"], r["__deleted"])
+           for r in lww_dedup(df, ["repo", "path"]).collect()}
+    assert out == {("r", "p"): (5, False), ("r2", "p"): (2, False)}
+
+
+def test_lww_dedup_delete_wins_when_last(spark):
+    df = _df(
+        spark,
+        [
+            (0, 1, "insert", "r", "p", "c1", "py", "v1", None, None),
+            (0, 9, "delete", "r", "p", None, "py", None, None, None),
+        ],
+    )
+    out = lww_dedup(df, ["repo", "path"]).collect()
+    assert len(out) == 1 and out[0]["__deleted"] is True
+
+
+def test_lww_tie_break_prefers_non_delete(spark):
+    """At equal seq the reference applies Delete first, Insert after →
+    insert wins (replicate_channel_manager.go:1451-1454)."""
+    df = _df(
+        spark,
+        [
+            (0, 7, "delete", "r", "p", None, "py", None, None, None),
+            (0, 7, "insert", "r", "p", "c7", "py", "v7", None, None),
+        ],
+    )
+    out = lww_dedup(df, ["repo", "path"]).collect()
+    assert len(out) == 1 and out[0]["__deleted"] is False
+
+
+def test_type_and_scope_filters(spark):
+    df = _df(
+        spark,
+        [
+            (0, 1, "insert", "org1/a", "p", "c", "py", "v", None, None),
+            (0, 2, "heartbeat", None, None, None, None, None, None, None),
+            (0, 3, "add_column", None, None, None, None, None, '{"name":"x"}', None),
+            (0, 4, "delete", "org2/b", "p", None, "py", None, None, None),
+        ],
+    )
+    assert {r["event_seq"] for r in supported_dml(df).collect()} == {1, 4}
+    assert {r["event_seq"] for r in ddl_events(df).collect()} == {3}
+    scoped = scope_filter(df, repo_pattern="^org1/")
+    # DDL (null repo) passes; org2 filtered
+    assert {r["event_seq"] for r in scoped.collect()} == {1, 2, 3}
+    excl = scope_filter(df, exclude_repos=["org1/a"])
+    assert {r["event_seq"] for r in excl.collect()} == {2, 3, 4}
+
+
+def test_salted_repartition_preserves_rows_and_spreads(spark):
+    rows = [(0, i, "insert", "hot/repo", f"p{i}", "c", "py", "v", None, None) for i in range(400)]
+    df = _df(spark, rows)
+    out = salted_repartition(df, "repo", 8, salt_factor=8)
+    assert out.count() == 400
+    assert "__salt" not in out.columns
+    # one hot repo must land on >1 partition post-salt
+    parts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .select("pid").distinct().count()
+    )
+    assert parts > 1
