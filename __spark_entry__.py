@@ -1,38 +1,671 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 CDC
+dataflow operators re-expressed as queries over the driver's test
+tables, plus the training-data-pipeline operators) and ``oracle_sql()``
+the DuckDB-equivalent SQL. Hash primitives are md5/sha256 everywhere so
+values are bit-identical across engines.
+
+Mapping of the CDC ops onto the generic ``events`` table
+(event_id, ts, user_id, event_type, value, props):
+``event_id`` = event_seq (total order), ``user_id`` = key,
+``event_type='error'`` plays the delete/tombstone role.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from milvus_cdc_spark.operators.dedup_text import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from milvus_cdc_spark.operators.multimodal import extract_features, to_media
+from milvus_cdc_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    make_planes,
+    pairwise_cosine_neardup,
+)
+from milvus_cdc_spark.operators.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+N_PARTITIONS = 8  # synthetic partition count for the events table
+QUERY_K = 10
+PLANES = make_planes(64, 4, seed=42)
+QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC dataflow operators over `events`
+# --------------------------------------------------------------------------
+
+def cdc_lww_latest(spark, sf_dir):
+    """O1/O2/K4: window-over-event-sequence dedup, last writer wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value"), 2).alias("last_value"),
+        )
+    )
+
+
+def cdc_tombstone_fold(spark, sf_dir):
+    """Full LWW fold with delete semantics: latest event wins; keys whose
+    latest event is the tombstone type ('error') are removed (T5)."""
+    latest = cdc_lww_latest(spark, sf_dir)
+    return latest.filter(F.col("last_event_type") != "error").select(
+        "user_id", "last_event_id", "last_event_type"
+    )
+
+
+def cdc_type_filter(spark, sf_dir):
+    """T1 msg-type filter: only sink-supported types pass, projected."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "view", "purchase")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def cdc_partition_positions(spark, sf_dir):
+    """K5/O3: per-partition position checkpoint — partition = hash(key)%P,
+    offset_end = max seq, rows consumed."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("partition_id", F.pmod(F.col("user_id"), F.lit(N_PARTITIONS)))
+        .groupBy("partition_id")
+        .agg(
+            F.max("event_id").alias("offset_end"),
+            F.count(F.lit(1)).alias("rows_consumed"),
+        )
+    )
+
+
+def cdc_batch_lineage(spark, sf_dir):
+    """B1/M2: micro-batch accounting — batch = seq div 100; offset range +
+    rows per batch (the lineage-row shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("batch_id", F.floor(F.col("event_id") / 100))
+        .groupBy("batch_id")
+        .agg(
+            F.min("event_id").alias("offset_start"),
+            F.max("event_id").alias("offset_end"),
+            F.count(F.lit(1)).alias("rows_in"),
+        )
+    )
+
+
+def cdc_hot_keys(spark, sf_dir):
+    """Skew detection: event count per key, top-K hottest (salting input)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(5)
+    )
+
+
+def cdc_dedup_exact(spark, sf_dir):
+    """Window dedup on a composite key: latest event per (user, type)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+    )
+
+
+def cdc_sessionize(spark, sf_dir):
+    """Sessionization (gap > 30 min) per key — the stream-window analog;
+    returns sessions per user + events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # fractional epoch seconds, matches duckdb epoch(); NTZ needs the
+    # intermediate cast (session TZ pinned to UTC = duckdb's naive read)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    flag = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sid = F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("session_id", sid)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def cdc_metrics_rates(spark, sf_dir):
+    """M1 metrics analog: per event type — rows, exact value sum in cents
+    (integer math → engine-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(cents).alias("sum_cents"),
+    )
+
+
+def cdc_running_position(spark, sf_dir):
+    """K4 ordered-apply analog: running event count + running cents per
+    key in seq order (first 200 events per key to bound output)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 200)
+        .withColumn(
+            "running_cents",
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "rn", "running_cents")
+    )
+
+
+def cdc_props_extract(spark, sf_dir):
+    """T3 projection analog: JSON payload field extraction + group stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup over `documents`
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, shingle_n=3
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=8, bands=4, shingle_n=3,
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_b") == F.col("id_a") + 1,
+    )
+    return ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=3)
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text", bits=32)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", bits=32, max_hamming=6
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis over `documents`
+# --------------------------------------------------------------------------
+
+def q_language_id(spark, sf_dir):
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_token_count(spark, sf_dir):
+    return token_count(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# similarity search over `embeddings`
+# --------------------------------------------------------------------------
+
+def q_ann_bruteforce(spark, sf_dir):
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), QUERY_VEC, k=QUERY_K)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=QUERY_K, n_planes=4, seed=42
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return pairwise_cosine_neardup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4, seed=42
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary payloads)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = to_media(
+        docs.withColumn("payload", F.encode(F.col("text"), "utf-8")),
+        "doc_id", "payload", kind="blob", fmt="utf8",
+    )
+    feats = extract_features(media, feature_dim=4, decode_stub=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "payload_sha256",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's semantic core (LWW fold with tombstones)
+    over the sf0.001 events table."""
+    return cdc_tombstone_fold(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_latest": cdc_lww_latest,
+        "cdc_tombstone_fold": cdc_tombstone_fold,
+        "cdc_type_filter": cdc_type_filter,
+        "cdc_partition_positions": cdc_partition_positions,
+        "cdc_batch_lineage": cdc_batch_lineage,
+        "cdc_hot_keys": cdc_hot_keys,
+        "cdc_dedup_exact": cdc_dedup_exact,
+        "cdc_sessionize": cdc_sessionize,
+        "cdc_metrics_rates": cdc_metrics_rates,
+        "cdc_running_position": cdc_running_position,
+        "cdc_props_extract": cdc_props_extract,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_minhash_signatures,
+        "dedup_lsh_pairs": q_lsh_pairs,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_simhash": q_simhash,
+        "dedup_simhash_near_pairs": q_simhash_near_pairs,
+        "text_language_id": q_language_id,
+        "text_quality_score": q_quality_score,
+        "text_token_count": q_token_count,
+        "text_doc_fingerprint": q_doc_fingerprint,
+        "ann_cosine_bruteforce": q_ann_bruteforce,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+def _planes_sql(vec_expr: str, planes) -> str:
+    """SRP bucket id as SQL over list_dot_product with plane literals."""
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ",".join(f"{x!r}" for x in p) + "]"
+        terms.append(
+            f"(case when list_dot_product({vec_expr}, {lit}::DOUBLE[]) > 0 "
+            f"then {2**j} else 0 end)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _qvec_sql() -> str:
+    return "[" + ",".join(f"{x!r}" for x in QUERY_VEC) + "]::DOUBLE[]"
+
+
+_SHINGLES = """
+shingles AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(words) - 2, 0) + 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+          FROM documents)
+  ) GROUP BY doc_id, shingle
+)
+"""
+
+_MINHASH8 = _SHINGLES + """,
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles GROUP BY doc_id
+)
+""".format(
+    mins=",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(8)
+    )
+)
+
+_SIMHASH32 = """
+wordhash AS (
+  SELECT doc_id, md5(w) AS h FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM wordhash GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, ({fpexpr})::BIGINT AS simhash FROM bits
+)
+""".format(
+    sums=",\n         ".join(
+        f"sum(case when substr(h, {i + 1}, 1) in "
+        f"('8','9','a','b','c','d','e','f') then 1 else -1 end) AS b{i}"
+        for i in range(32)
+    ),
+    fpexpr=" + ".join(
+        f"(case when b{i} > 0 then {2**i}::BIGINT else 0 end)" for i in range(32)
+    ),
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    lang_hits = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"w -> w in ({','.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    }
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in sorted(STOPWORDS)) + ")"
+    pred = "'und'"
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = (
+            f"case when hits_{lang} = {best} and {best} > 0 then '{lang}' else {pred} end"
+        )
+
+    return {
+        "cdc_lww_latest": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, round(value, 2) AS last_value
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_tombstone_fold": """
+            SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_type_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+        """,
+        "cdc_partition_positions": f"""
+            SELECT user_id % {N_PARTITIONS} AS partition_id,
+                   max(event_id) AS offset_end,
+                   count(*) AS rows_consumed
+            FROM events GROUP BY 1
+        """,
+        "cdc_batch_lineage": """
+            SELECT event_id // 100 AS batch_id,
+                   min(event_id) AS offset_start,
+                   max(event_id) AS offset_end,
+                   count(*) AS rows_in
+            FROM events GROUP BY 1
+        """,
+        "cdc_hot_keys": """
+            SELECT user_id, count(*) AS n_events FROM events
+            GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 5
+        """,
+        "cdc_dedup_exact": """
+            SELECT user_id, event_type, event_id AS last_event_id
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+                  FROM events) WHERE rn = 1
+        """,
+        "cdc_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     epoch(ts) - lag(epoch(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts) AS gap
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     sum(case when gap IS NULL OR gap > 1800 then 1 else 0 end)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "cdc_metrics_rates": """
+            SELECT event_type, count(*) AS rows,
+                   sum(round(value * 100)::BIGINT) AS sum_cents
+            FROM events GROUP BY event_type
+        """,
+        "cdc_running_position": """
+            SELECT user_id, event_id, rn, running_cents FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER w AS rn,
+                     sum(round(value * 100)::BIGINT) OVER
+                       (PARTITION BY user_id ORDER BY event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_cents
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ) WHERE rn <= 200
+        """,
+        "cdc_props_extract": """
+            SELECT event_type,
+                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   count(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_signatures": "WITH " + _MINHASH8 + "SELECT * FROM sig",
+        "dedup_lsh_pairs": "WITH " + _MINHASH8 + """,
+            banded AS (
+              SELECT doc_id, 0 AS band_id,
+                     md5(mh_0 || '|' || mh_1) AS band_hash FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS band_hits
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        "dedup_ngram_jaccard": "WITH " + _SHINGLES + """,
+            sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN shingles sa ON sa.doc_id = p.id_a
+              JOIN shingles sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, i.n_inter,
+                   za.n AS n_a, zb.n AS n_b,
+                   round(i.n_inter / (za.n + zb.n - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.id_a
+            JOIN sizes zb ON zb.doc_id = i.id_b
+        """,
+        "dedup_simhash": "WITH " + _SIMHASH32 + "SELECT doc_id, simhash FROM fp",
+        "dedup_simhash_near_pairs": "WITH " + _SIMHASH32 + """,
+            blocked AS (
+              SELECT doc_id, simhash,
+                     (simhash // 65536)::BIGINT AS block FROM fp)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM blocked a JOIN blocked b
+              ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        "text_language_id": f"""
+            SELECT doc_id,
+                   {", ".join(f"hits_{lang}" for lang in sorted(STOPWORDS))},
+                   {pred} AS lang_pred
+            FROM (
+              SELECT doc_id,
+                     {", ".join(f"{expr} AS hits_{lang}" for lang, expr in lang_hits.items())}
+              FROM documents)
+        """,
+        "text_quality_score": f"""
+            SELECT doc_id, n_chars, n_words,
+                   round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
+                   round(n_punct / n_chars, 6) AS punct_ratio,
+                   round(n_stop / n_words, 6) AS stopword_ratio,
+                   round(least(n_words / 200.0, 1.0) * 0.4
+                         + (1 - n_punct / n_chars) * 0.3
+                         + least(n_stop / n_words * 5, 1.0) * 0.3, 6)
+                     AS quality_score
+            FROM (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w in ({stop_en}))) AS n_stop
+              FROM documents)
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS regex_tokens,
+                   round(length(text) / 4.0, 6) AS est_tokens_len4
+            FROM documents
+        """,
+        "text_doc_fingerprint": "WITH " + """
+            sh AS (
+              SELECT doc_id, pos, md5(shingle) AS h FROM (
+                SELECT doc_id,
+                       generate_subscripts(shingles, 1) - 1 AS pos,
+                       unnest(shingles) AS shingle
+                FROM (
+                  SELECT doc_id,
+                         list_transform(
+                           range(1, greatest(len(words) - 2, 0) + 1),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                         ) AS shingles
+                  FROM (SELECT doc_id,
+                               string_split_regex(trim(text), '\\s+') AS words
+                        FROM documents))))
+            , wm AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+              FROM sh)
+            SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+                   min(wmin) AS min_fingerprint
+            FROM wm GROUP BY doc_id
+        """,
+        "ann_cosine_bruteforce": f"""
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], {_qvec_sql()})
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product({_qvec_sql()}, {_qvec_sql()}))),
+                         6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT {QUERY_K}
+        """,
+        "ann_lsh_topk": f"""
+            WITH bucketed AS (
+              SELECT vec_id, embedding,
+                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket
+              FROM embeddings),
+            qb AS (SELECT {_planes_sql(_qvec_sql(), PLANES)} AS qbucket)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], {_qvec_sql()})
+                         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[]))
+                            * sqrt(list_dot_product({_qvec_sql()}, {_qvec_sql()}))),
+                         6) AS cosine
+            FROM bucketed, qb WHERE bucket = qbucket
+            ORDER BY cosine DESC, vec_id LIMIT {QUERY_K}
+        """,
+        "embedding_neardup": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]))),
+                         6) AS cosine
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[],
+                                         c.embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                 a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                   c.embedding::DOUBLE[]))),
+                        6) >= 0.3
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'blob' AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS payload_sha256,
+                   round((('0x' || substr(sha256(text), 1, 2))::INT) / 255.0, 6) AS f0
+            FROM documents
+        """,
+    }

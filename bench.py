@@ -1,0 +1,91 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "cdc_replay_events_per_sec", "value": N, "unit": "events/sec",
+ "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+- per-query wall time for every `__spark_entry__.queries()` entry at
+  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- the headline CDC replay: N synthetic change events (lazy generator, no
+  disk) replayed through the full pipeline (dedup → sha256 UDF → icebox
+  MERGE → checkpoint/lineage/metrics) into a fresh table; steady-state
+  events/sec measured after a warm-up batch.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_EVENTS (default 2_000_000), BENCH_BATCH (default 500_000),
+BENCH_SKIP_QUERIES=1 to run only the replay (used by the scaling runner).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    batch = int(os.environ.get("BENCH_BATCH", "500000"))
+
+    from milvus_cdc_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entry
+
+    qtimes: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name, fn in entry.queries().items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            qtimes[name] = round(time.time() - t0, 3)
+
+    # ---- headline: CDC replay throughput -------------------------------
+    from milvus_cdc_spark.plans.apply import ReplicateJob, generated_source
+    from milvus_cdc_spark.plans.metastore import Metastore
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        job = ReplicateJob(
+            spark=spark,
+            source=generated_source(num_keys=max(n_events // 10, 1000)),
+            table_root=os.path.join(work, "tbl"),
+            metastore=Metastore(os.path.join(work, "meta")),
+            batch_size=batch,
+            num_buckets=max(cpus * 2, 32),
+            collect_metrics=True,
+            log_max_seq=n_events - 1,
+        )
+        # warm-up: first batch pays JVM/codegen warm-up; measure the rest
+        job.run(until_seq=n_events - 1, max_batches=1)
+        t0 = time.time()
+        res = job.run(until_seq=n_events - 1)
+        dt = time.time() - t0
+        steady_events = res["events_applied"]
+        eps = steady_events / dt if dt > 0 else 0.0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "cdc_replay_events_per_sec",
+        "value": round(eps, 1),
+        "unit": "events/sec",
+        "queries": qtimes,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "replay_events_total": n_events,
+        "replay_steady_events": steady_events,
+        "replay_steady_seconds": round(dt, 2),
+        "replay_batches": res["batches"],
+        "cores": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

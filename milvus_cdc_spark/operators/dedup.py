@@ -9,11 +9,19 @@ Replaces three reference mechanisms at once (SURVEY.md §2.4):
 - ts-monotonicity rewrite (``:1846-1913``) — impossible to need here
   because ``event_seq`` is a total order per key by log construction.
 
-One window, one shuffle on the merge key (which the downstream MERGE
-join reuses — AQE sees matching partitioning). ``row_number`` (not
-``rank``) because seq ties are impossible by construction; if a source
-ever emitted ties, the ``delete_first`` ordering reproduces the
-reference's Delete-before-Insert tie break.
+Two implementations, identical semantics (cross-checked in tests):
+
+- ``agg`` (default): ``groupBy(key).agg(max_by(struct(*), priority))`` —
+  a hash aggregation with MAP-SIDE PARTIAL combine, so intra-partition
+  duplicates collapse before the shuffle. On skewed logs (one hot repo
+  updated constantly) the shuffle carries one row per key per map task
+  instead of every event — the decisive scale property.
+- ``window``: ``row_number() over (partition by key order by seq desc)``
+  — the textbook form; sorts each group, shuffles every event.
+
+Ties (impossible when the log carries a global event_seq): the priority
+struct prefers the non-delete, reproducing the reference's
+Delete-before-Insert apply order at equal timestamps.
 """
 
 from __future__ import annotations
@@ -28,23 +36,31 @@ def lww_dedup(
     seq_col: str = "event_seq",
     type_col: str = "event_type",
     delete_type: str = "delete",
-    delete_first_on_tie: bool = True,
+    impl: str = "agg",
 ) -> DataFrame:
     """Keep the winning (max-seq) event per key; adds ``__deleted``.
 
     Output has exactly one row per key — the contract
     :meth:`IceboxTable.merge` requires.
     """
-    order = [F.col(seq_col).desc()]
-    if delete_first_on_tie:
-        # at equal seq, delete loses to a later-applied insert in the
-        # reference's sort (delete sorts FIRST, so insert applies after
-        # and wins) — mirror that: prefer the non-delete on ties.
-        order.append(F.when(F.col(type_col) == delete_type, 1).otherwise(0).asc())
-    w = Window.partitionBy(*key_cols).orderBy(*order)
-    return (
-        events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .withColumn("__deleted", F.col(type_col) == delete_type)
+    is_delete = F.col(type_col) == delete_type
+    if impl == "window":
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.when(is_delete, 1).otherwise(0).asc()
+        )
+        return (
+            events.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("__deleted", is_delete)
+        )
+    other_cols = [c for c in events.columns if c not in key_cols]
+    priority = F.struct(
+        F.col(seq_col).alias("s"),
+        F.when(is_delete, 0).otherwise(1).alias("d"),  # non-delete wins ties
     )
+    payload = F.struct(*[F.col(c).alias(c) for c in other_cols])
+    won = events.groupBy(*key_cols).agg(F.max_by(payload, priority).alias("__w"))
+    return won.select(
+        *key_cols, *[F.col(f"__w.{c}").alias(c) for c in other_cols]
+    ).withColumn("__deleted", is_delete)

@@ -1,0 +1,223 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Spark SQL functions (JVM-side, codegen) —
+no Python in the per-row path. Hash primitives are md5/sha2 so results
+are bit-identical across engines (the DuckDB oracle uses the same md5),
+unlike xxhash64/murmur which are Spark-specific.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the 32-hex digest — the digest (not the
+  document) is the shuffle payload if you select early; Catalyst prunes
+  `text` after the hash is computed.
+- MinHash+LSH: shingling explodes ~L words per doc, but the per-doc
+  signature aggregation is a partial (map-side) min — the shuffle
+  carries (doc_id, 16 minima), i.e. O(docs), not O(shingles).
+- band join: self-join on (band_id, band_hash) — only docs sharing a
+  bucket meet; with b bands of r rows the candidate set is the classic
+  (1-(1-s^r)^b) curve, and the join key is high-cardinality so the
+  shuffle is well spread. Hot buckets (boilerplate docs) are handled by
+  AQE skew-join splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the min-id doc as
+    the canonical representative. Returns (md5 string, keep_id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Split on whitespace; shingle = n consecutive words joined by one
+    space. Docs shorter than n words produce no shingles (they can only
+    be exact dups). All array ops are Catalyst built-ins.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: sequence(1, 0) would be DESCENDING in Spark; short docs get []
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: num_hashes columns ``mh_i``.
+
+    Hash family i is ``md5(i || ':' || shingle)`` — engine-portable and
+    deterministic. The min aggregation is map-side partial, so the
+    shuffle is O(docs × num_hashes) strings.
+    """
+    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (id_a < id_b, band hit
+    count). bands × rows = num_hashes; a pair is a candidate if any band's
+    sub-signature matches exactly."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("band_hits"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity on word-shingle sets for candidate pairs.
+
+    ``pairs`` has (id_a, id_b). Intersection via shingle equi-join,
+    union via |A|+|B|-∩. Runs only over LSH candidates — the classic
+    two-stage near-dup pipeline (cheap filter, exact verify).
+    """
+    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint per doc over word features.
+
+    Bit i of a word's hash = high bit of hex digit i of md5(word)
+    (digit in 8..f) — pure string ops, bit-identical in any engine with
+    md5. Fingerprint bit i = sign of sum(±1) over words. The bit loop is
+    an unrolled aggregation — one shuffle, map-side partials, no UDF.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    hexhi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), i + 1, 1).isin(hexhi), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = words.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else (fp + term)
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale path: block on the high 16 bits (near-dups almost always share
+    them at distance ≤3 over 32 bits — a standard simhash banding
+    approximation) so the join is band-bucketed, not all-pairs.
+    """
+    fp = simhash(docs, id_col, text_col, bits)
+    fp = fp.withColumn(
+        "block", F.floor(F.col("simhash") / F.lit(float(2 ** (bits // 2)))).cast("long")
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

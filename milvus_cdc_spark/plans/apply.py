@@ -40,7 +40,7 @@ from milvus_cdc_spark.operators.dedup import lww_dedup
 from milvus_cdc_spark.operators.filters import scope_filter, supported_dml
 from milvus_cdc_spark.operators.salting import salted_repartition
 from milvus_cdc_spark.plans.metastore import Metastore
-from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
+from milvus_cdc_spark.sources.event_log import DDL_TYPES, DML_TYPES, EVENT_SCHEMA
 from milvus_cdc_spark.sources.icebox import IceboxTable
 
 # FIXTURES.md §3 — the target table's base schema.
@@ -67,6 +67,8 @@ class ReplicateJob:
     task_id: str = "task0"
     batch_size: int = 100_000
     num_buckets: int = 32
+    write_mode: str = "mor"  # "mor": O(batch) delta merges; "cow": bucket rewrite
+    compact_threshold: int = 8  # mor: max delta files per bucket before compaction
     salt_factor: int = 0  # 0 = rely on AQE only; >0 = explicit hot-repo salting
     repo_pattern: str | None = None
     exclude_repos: list[str] | None = None
@@ -86,6 +88,8 @@ class ReplicateJob:
                     key_cols=KEY_COLS,
                     num_buckets=self.num_buckets,
                     properties={"task_id": self.task_id, "batch_id": -1, "offset_end": -1},
+                    seq_col="last_event_seq",
+                    write_mode=self.write_mode,
                 )
             self._table = IceboxTable(self.spark, self.table_root)
         return self._table
@@ -140,30 +144,61 @@ class ReplicateJob:
         events = self.source(self.spark, lo, hi)
         events = scope_filter(events, self.repo_pattern, self.exclude_repos)
 
-        ddl_rows = (
-            events.filter(F.col("event_type").isin(*DDL_TYPES))
-            .select("event_seq", "event_type", "schema_change")
-            .orderBy("event_seq")
-            .limit(1)
-            .collect()
-        )
-        ddl = ddl_rows[0] if ddl_rows else None
-        data_hi = (ddl["event_seq"] - 1) if ddl is not None else hi
+        # ONE probe job: per-partition DML stats (checkpoint positions,
+        # lineage, metrics — M1/M2/K5) fused with the first-DDL-seq scan.
+        stats, min_ddl = self._probe(events)
+        ddl = None
+        if min_ddl is not None:
+            ddl = (
+                events.filter(F.col("event_seq") == min_ddl)
+                .select("event_type", "schema_change")
+                .collect()[0]
+            )
+            # stats beyond the DDL cap are stale → recompute on the
+            # capped range (rare path: only batches containing DDL).
+            stats, _ = self._probe(
+                events.filter(F.col("event_seq") < min_ddl)
+            )
+        data_hi = (min_ddl - 1) if min_ddl is not None else hi
 
         rows_in = 0
-        if data_hi > lo:
-            rows_in = self._apply_dml(batch_id, lo, data_hi, events)
+        if data_hi > lo and (stats or not self.collect_metrics):
+            rows_in = self._apply_dml(batch_id, lo, data_hi, events, stats)
 
         applied_hi = data_hi
         if ddl is not None:
             self._apply_ddl(ddl["event_type"], ddl["schema_change"])
-            applied_hi = ddl["event_seq"]
+            applied_hi = min_ddl
             self.metastore.save_checkpoint(
                 self.task_id, batch_id, {}, global_offset=applied_hi
             )
         return applied_hi, rows_in
 
-    def _apply_dml(self, batch_id: int, lo: int, hi: int, events: DataFrame) -> int:
+    def _probe(self, events: DataFrame) -> tuple[list, int | None]:
+        """Per-partition DML stats + min DDL seq, one aggregation job."""
+        is_dml = F.col("event_type").isin(*DML_TYPES)
+        is_ddl = F.col("event_type").isin(*DDL_TYPES)
+        if not self.collect_metrics:
+            row = events.agg(F.min(F.when(is_ddl, F.col("event_seq"))).alias("m")).collect()
+            return [], row[0]["m"]
+        rows = (
+            events.groupBy("partition_id")
+            .agg(
+                F.count(F.when(is_dml, 1)).alias("rows_in"),
+                F.min(F.when(is_dml, F.col("event_seq"))).alias("min_seq"),
+                F.max(F.when(is_dml, F.col("event_seq"))).alias("max_seq"),
+                F.sum(F.when(is_dml, F.octet_length("content"))).alias("bytes"),
+                F.min(F.when(is_ddl, F.col("event_seq"))).alias("min_ddl"),
+            )
+            .collect()
+        )
+        ddls = [r["min_ddl"] for r in rows if r["min_ddl"] is not None]
+        stats = [r for r in rows if r["rows_in"]]
+        return stats, (min(ddls) if ddls else None)
+
+    def _apply_dml(
+        self, batch_id: int, lo: int, hi: int, events: DataFrame, stats: list
+    ) -> int:
         table = self.table()
         dml = supported_dml(events).filter(
             (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
@@ -172,27 +207,11 @@ class ReplicateJob:
             shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             dml = salted_repartition(dml, "repo", shuffle_n, self.salt_factor)
 
-        # per-partition stats in ONE job: counts + offset ranges (drives
-        # checkpoint positions, lineage, metrics — M1/M2/K5).
-        stats = []
-        if self.collect_metrics:
-            stats = (
-                dml.groupBy("partition_id")
-                .agg(
-                    F.count("*").alias("rows_in"),
-                    F.min("event_seq").alias("min_seq"),
-                    F.max("event_seq").alias("max_seq"),
-                    F.sum(F.octet_length("content")).alias("bytes"),
-                )
-                .collect()
-            )
-            if not stats:
-                return 0
-
         changes = self._build_changes(dml)
         t0 = time.time()
         snapshot_id = table.merge(
             changes,
+            compact_threshold=self.compact_threshold,
             properties={
                 "task_id": self.task_id,
                 "batch_id": batch_id,

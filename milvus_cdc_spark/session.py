@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # max_by/min_by (TypedImperativeAggregate) run on
+        # ObjectHashAggregateExec, which falls back to SORT-based
+        # aggregation after only 128 groups by default — catastrophic for
+        # the LWW dedup/merge hash aggs. Keep them hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 30))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # files.maxPartitionBytes default 128m is right for the 100 TB

@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 from milvus_cdc_spark.functions.hashing import stable_bucket
 
 _BUCKET_COL = "__bucket"
+_DELETED_COL = "__deleted"
 
 
 class CommitConflictError(RuntimeError):
@@ -64,12 +65,16 @@ class Snapshot:
     parent_id: int | None
     schema_versions: list[dict[str, Any]]  # [{"version": i, "schema": ddl_string}]
     current_schema_version: int
-    # bucket -> list of {"path": ..., "schema_version": i}
+    # bucket -> list of {"path": ..., "schema_version": i, "kind": "base"|"delta"}
     buckets: dict[str, list[dict[str, Any]]]
     num_buckets: int
     key_cols: list[str]
     properties: dict[str, Any] = field(default_factory=dict)
     committed_ts: float = 0.0
+    # merge-on-read support: seq_col orders versions of a key; write_mode
+    # "mor" appends delta files per merge, "cow" rewrites buckets.
+    seq_col: str | None = None
+    write_mode: str = "cow"
 
     def schema(self, version: int | None = None) -> T.StructType:
         v = self.current_schema_version if version is None else version
@@ -102,10 +107,21 @@ class IceboxTable:
         num_buckets: int = 32,
         properties: dict[str, Any] | None = None,
         if_not_exists: bool = False,
+        seq_col: str | None = None,
+        write_mode: str = "cow",
     ) -> "IceboxTable":
         """CREATE TABLE. Idempotent under ``if_not_exists`` — the analog of
         the reference's describe-before-create DDL guard
-        (``core/writer/milvus_handler.go:127-129``)."""
+        (``core/writer/milvus_handler.go:127-129``).
+
+        ``write_mode="mor"`` (requires ``seq_col``): merges append compact
+        delta files and reads resolve the max-seq winner per key — O(batch)
+        writes for sustained upsert throughput, with per-bucket compaction
+        (the LSM/Milvus-segment shape). ``"cow"``: merges rewrite affected
+        buckets — zero read amplification.
+        """
+        if write_mode == "mor" and not seq_col:
+            raise ValueError("write_mode='mor' requires seq_col")
         if cls.exists(root):
             if if_not_exists:
                 return cls(spark, root)
@@ -126,6 +142,8 @@ class IceboxTable:
             key_cols=list(key_cols),
             properties=dict(properties or {}),
             committed_ts=time.time(),
+            seq_col=seq_col,
+            write_mode=write_mode,
         )
         _write_snapshot(root, snap)
         _swap_pointer(root, 0, expect=None)
@@ -162,18 +180,57 @@ class IceboxTable:
 
         Old-schema-version files are upcast to the current schema on read
         (missing column → null, widened type → cast) — zero-rewrite schema
-        evolution, same contract as Iceberg.
+        evolution, same contract as Iceberg. In MoR tables, delta files
+        are resolved here: per key, the max-seq row wins and delete rows
+        drop out (Iceberg merge-on-read / Milvus segment+delete-mark
+        semantics).
         """
         snap = self.snap if snapshot_id is None else _read_snapshot(self.root, snapshot_id)
         assert snap is not None
-        return self._read_files(snap, [f for files in snap.buckets.values() for f in files])
+        return self.read_buckets(snap, None)
 
-    def read_buckets(self, snap: Snapshot, bucket_ids: list[int]) -> DataFrame:
-        files = [f for b in bucket_ids for f in snap.buckets.get(str(b), [])]
-        return self._read_files(snap, files)
+    def read_buckets(self, snap: Snapshot, bucket_ids: list[int] | None) -> DataFrame:
+        if bucket_ids is None:
+            files = [f for fs in snap.buckets.values() for f in fs]
+        else:
+            files = [f for b in bucket_ids for f in snap.buckets.get(str(b), [])]
+        bases = [f for f in files if f.get("kind", "base") == "base"]
+        deltas = [f for f in files if f.get("kind", "base") == "delta"]
+        base_df = self._read_files(snap, bases, with_deleted=False)
+        if not deltas:
+            return base_df
+        delta_df = self._read_files(snap, deltas, with_deleted=True)
+        return self._resolve(
+            snap,
+            base_df.withColumn(_DELETED_COL, F.lit(False)).withColumn("__d", F.lit(0)),
+            delta_df.withColumn("__d", F.lit(1)),
+        )
 
-    def _read_files(self, snap: Snapshot, files: list[dict[str, Any]]) -> DataFrame:
+    def _resolve(self, snap: Snapshot, base: DataFrame, deltas: DataFrame) -> DataFrame:
+        """max_by winner per key over base ∪ deltas, ordered by (seq,
+        delta-ness); delete winners drop out."""
+        keys = snap.key_cols
+        seq = snap.seq_col
+        assert seq, "delta files require seq_col"
+        both = base.unionByName(deltas)
+        payload_cols = [c for c in both.columns if c not in keys]
+        payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+        priority = F.struct(F.col(seq).alias("s"), F.col("__d").alias("d"))
+        winners = both.groupBy(*keys).agg(F.max_by(payload, priority).alias("__w"))
+        return (
+            winners.select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+            .filter(~F.col(_DELETED_COL))
+            .drop(_DELETED_COL, "__d")
+        )
+
+    def _read_files(
+        self, snap: Snapshot, files: list[dict[str, Any]], with_deleted: bool = False
+    ) -> DataFrame:
         target = snap.schema()
+        if with_deleted:
+            target = T.StructType(
+                target.fields + [T.StructField(_DELETED_COL, T.BooleanType(), False)]
+            )
         if not files:
             return self.spark.createDataFrame([], target)
         parts: list[DataFrame] = []
@@ -182,6 +239,10 @@ class IceboxTable:
             by_version.setdefault(f["schema_version"], []).append(f["path"])
         for version, paths in sorted(by_version.items()):
             vschema = snap.schema(version)
+            if with_deleted:
+                vschema = T.StructType(
+                    vschema.fields + [T.StructField(_DELETED_COL, T.BooleanType(), False)]
+                )
             df = self.spark.read.schema(vschema).parquet(*paths)
             # upcast to current schema: add missing columns as null, widen types
             cols = []
@@ -202,21 +263,39 @@ class IceboxTable:
         self,
         changes: DataFrame,
         *,
-        delete_col: str = "__deleted",
+        delete_col: str = _DELETED_COL,
         properties: dict[str, Any] | None = None,
+        compact_threshold: int = 8,
     ) -> int:
         """MERGE INTO: upsert-or-delete ``changes`` by the table's key.
 
         ``changes`` must carry the table's current columns plus a boolean
         ``delete_col`` and have AT MOST ONE ROW PER KEY (enforce upstream
-        with the LWW dedup window — ``operators/dedup.py``). Semantics:
+        with the LWW dedup — ``operators/dedup.py``). Semantics:
 
             WHEN MATCHED AND __deleted THEN DELETE
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED AND NOT __deleted THEN INSERT *
 
-        Only buckets containing changed keys are rewritten; all other
-        buckets' files carry over into the new snapshot untouched.
+        Physical plans:
+
+        - **cow** (write_mode="cow"): old rows of affected buckets and
+          changes are unioned and the per-key winner picked with ONE hash
+          aggregation (``max_by(payload, priority)``) — a single shuffle
+          with map-side partial combine, vs. anti-join + union (two
+          shuffles + a join build). With the table's ``seq_col`` set, the
+          higher sequence wins regardless of side, making a replayed
+          stale change a structural no-op (the reference's ts-based
+          visibility, SURVEY.md §3.4). Untouched buckets' files carry
+          over into the new snapshot.
+        - **mor** (write_mode="mor"): the deduped changes (including
+          delete markers) are appended as per-bucket DELTA files —
+          O(batch) write cost regardless of table size, the property
+          that sustains upsert throughput at 10^10 events. Reads resolve
+          winners by seq; buckets whose delta-file count exceeds
+          ``compact_threshold`` are compacted (resolved → rewritten as
+          base) inside the same commit, bounding read amplification.
+
         Returns the new snapshot id.
         """
         assert self.snap is not None, "table does not exist"
@@ -228,44 +307,92 @@ class IceboxTable:
             if len(keys) == 2 else F.pmod(F.xxhash64(*keys), F.lit(snap.num_buckets)).cast("int")
         changes = changes.withColumn(_BUCKET_COL, bucket_expr)
 
-        # Affected-bucket discovery: tiny driver-side list (≤ num_buckets
-        # ints) — the pruning step that makes merges O(touched data).
-        affected = sorted(
-            r[0] for r in changes.select(_BUCKET_COL).distinct().collect()
-        )
-        if not affected:
-            return snap.snapshot_id  # empty batch → no new snapshot
-
-        old = self.read_buckets(snap, affected).withColumn(_BUCKET_COL, bucket_expr)
-
-        # survivors: target rows whose key is NOT in the batch.
-        survivors = old.join(changes.select(*keys), on=keys, how="left_anti")
-        upserts = changes.filter(~F.col(delete_col)).select(
-            *[F.col(f.name).cast(f.dataType) for f in target_schema.fields], F.col(_BUCKET_COL)
-        )
-        new_data = survivors.select(
-            *[F.col(f.name) for f in target_schema.fields], F.col(_BUCKET_COL)
-        ).unionByName(upserts)
-
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
-        (
-            new_data.repartition(max(len(affected), 1), F.col(_BUCKET_COL))
-            .write.partitionBy(_BUCKET_COL)
-            .mode("overwrite")
-            .parquet(staging)
-        )
 
-        new_buckets = dict(snap.buckets)
-        for b in affected:
-            new_buckets[str(b)] = []
-        for b in _list_bucket_files(staging):
-            new_buckets.setdefault(str(b[0]), []).append(
-                {"path": b[1], "schema_version": snap.current_schema_version}
+        if snap.write_mode == "mor":
+            # No pre-discovery pass: the partitionBy write itself reveals
+            # the affected buckets (one pass over changes total — the
+            # property that keeps a delta merge O(batch)).
+            delta = changes.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
+                F.col(delete_col).alias(_DELETED_COL),
+                F.col(_BUCKET_COL),
             )
-        for b in affected:  # bucket emptied entirely by deletes
-            if not new_buckets[str(b)]:
-                del new_buckets[str(b)]
+            (
+                delta.repartition(min(snap.num_buckets, 64), F.col(_BUCKET_COL))
+                .write.partitionBy(_BUCKET_COL)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            staged = _list_bucket_files(staging)
+            if not staged:
+                return snap.snapshot_id  # empty batch → no new snapshot
+            new_buckets = {b: list(fs) for b, fs in snap.buckets.items()}
+            for b, p in staged:
+                new_buckets.setdefault(str(b), []).append(
+                    {"path": p, "schema_version": snap.current_schema_version,
+                     "kind": "delta"}
+                )
+            new_buckets = self._compact_buckets(
+                snap, new_buckets, new_id, compact_threshold
+            )
+        else:
+            # Affected-bucket discovery: tiny driver-side list (≤
+            # num_buckets ints) — the pruning step that makes CoW merges
+            # O(touched data).
+            affected = sorted(
+                r[0] for r in changes.select(_BUCKET_COL).distinct().collect()
+            )
+            if not affected:
+                return snap.snapshot_id
+            old = self.read_buckets(snap, affected)
+            data_cols = [f.name for f in target_schema.fields]
+            tagged_old = old.select(
+                *[F.col(c) for c in data_cols],
+                F.lit(False).alias(delete_col),
+                F.lit(0).alias("__src"),
+            )
+            tagged_new = changes.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
+                F.col(delete_col),
+                F.lit(1).alias("__src"),
+            )
+            both = tagged_old.unionByName(tagged_new)
+            payload_cols = [c for c in data_cols if c not in keys] + [delete_col]
+            payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+            if snap.seq_col:
+                priority = F.struct(
+                    F.col(snap.seq_col).alias("s"), F.col("__src").alias("c")
+                )
+            else:
+                priority = F.struct(F.col("__src").alias("c"))
+            winners = both.groupBy(*keys).agg(F.max_by(payload, priority).alias("__w"))
+            new_data = (
+                winners.select(
+                    *keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+                )
+                .filter(~F.col(delete_col))
+                .drop(delete_col)
+                .withColumn(_BUCKET_COL, bucket_expr)
+            )
+            (
+                new_data.repartition(max(len(affected), 1), F.col(_BUCKET_COL))
+                .write.partitionBy(_BUCKET_COL)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            new_buckets = dict(snap.buckets)
+            for b in affected:
+                new_buckets[str(b)] = []
+            for b, p in _list_bucket_files(staging):
+                new_buckets.setdefault(str(b), []).append(
+                    {"path": p, "schema_version": snap.current_schema_version,
+                     "kind": "base"}
+                )
+            for b in affected:  # bucket emptied entirely by deletes
+                if not new_buckets[str(b)]:
+                    del new_buckets[str(b)]
 
         new_snap = Snapshot(
             snapshot_id=new_id,
@@ -277,6 +404,78 @@ class IceboxTable:
             key_cols=keys,
             properties={**snap.properties, **(properties or {})},
             committed_ts=time.time(),
+            seq_col=snap.seq_col,
+            write_mode=snap.write_mode,
+        )
+        self._commit(new_snap)
+        return new_id
+
+    def _compact_buckets(
+        self,
+        snap: Snapshot,
+        buckets: dict[str, list[dict[str, Any]]],
+        new_id: int,
+        threshold: int,
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Rewrite buckets whose delta count exceeds ``threshold`` into a
+        single resolved base file each — the maintenance op (analog of the
+        reference's Flush/compaction on the op channel). One Spark job
+        covers all due buckets."""
+        due = [
+            b
+            for b, fs in buckets.items()
+            if sum(1 for f in fs if f.get("kind", "base") == "delta") > threshold
+        ]
+        if not due:
+            return buckets
+        tmp_snap = Snapshot(**{**snap.__dict__, "buckets": buckets})
+        resolved = self.read_buckets(tmp_snap, [int(b) for b in due])
+        keys = snap.key_cols
+        bucket_expr = (
+            stable_bucket(F.col(keys[0]), F.col(keys[1]), snap.num_buckets)
+            if len(keys) == 2
+            else F.pmod(F.xxhash64(*keys), F.lit(snap.num_buckets)).cast("int")
+        )
+        staging = os.path.join(
+            self.root, "data", f"compact-{new_id}-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            resolved.withColumn(_BUCKET_COL, bucket_expr)
+            .repartition(len(due), F.col(_BUCKET_COL))
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        for b in due:
+            buckets[b] = []
+        for b, p in _list_bucket_files(staging):
+            buckets.setdefault(str(b), []).append(
+                {"path": p, "schema_version": snap.current_schema_version, "kind": "base"}
+            )
+        for b in due:
+            if not buckets[b]:
+                del buckets[b]
+        return buckets
+
+    def compact(self, threshold: int = 0) -> int:
+        """Force-compact all buckets with more than ``threshold`` delta
+        files; returns the new snapshot id (or current if nothing due)."""
+        assert self.snap is not None
+        snap = self.snap
+        new_id = snap.snapshot_id + 1
+        buckets = self._compact_buckets(
+            snap, {b: list(fs) for b, fs in snap.buckets.items()}, new_id, threshold
+        )
+        if buckets == snap.buckets:
+            return snap.snapshot_id
+        new_snap = Snapshot(
+            **{
+                **snap.__dict__,
+                "snapshot_id": new_id,
+                "parent_id": snap.snapshot_id,
+                "buckets": buckets,
+                "committed_ts": time.time(),
+            }
         )
         self._commit(new_snap)
         return new_id
@@ -301,7 +500,7 @@ class IceboxTable:
         buckets: dict[str, list[dict[str, Any]]] = {}
         for b, p in _list_bucket_files(staging):
             buckets.setdefault(str(b), []).append(
-                {"path": p, "schema_version": snap.current_schema_version}
+                {"path": p, "schema_version": snap.current_schema_version, "kind": "base"}
             )
         new_snap = Snapshot(
             snapshot_id=new_id,
@@ -313,6 +512,8 @@ class IceboxTable:
             key_cols=keys,
             properties={**snap.properties, **(properties or {})},
             committed_ts=time.time(),
+            seq_col=snap.seq_col,
+            write_mode=snap.write_mode,
         )
         self._commit(new_snap)
         return new_id
@@ -364,6 +565,8 @@ class IceboxTable:
             key_cols=snap.key_cols,
             properties={**snap.properties, **props},
             committed_ts=time.time(),
+            seq_col=snap.seq_col,
+            write_mode=snap.write_mode,
         )
         self._commit(new_snap)
         return new_snap.snapshot_id

@@ -1,0 +1,113 @@
+"""Merge-on-read mode tests: delta resolution, compaction, cow/mor
+equivalence (the write path that sustains 10^10-event upsert throughput)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.sources.icebox import IceboxTable
+
+SCHEMA = "repo string, path string, v bigint, seq bigint"
+
+
+def _mk(spark, tmp, name, mode):
+    return IceboxTable.create(
+        spark, os.path.join(tmp, name), SCHEMA, ["repo", "path"],
+        num_buckets=4, seq_col="seq", write_mode=mode,
+    )
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA + ", __deleted boolean")
+
+
+def test_mor_upsert_update_delete(spark, tmp_base):
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [("a", "1", 1, 10, False), ("b", "2", 2, 11, False)]))
+    t.merge(_ch(spark, [("a", "1", 9, 20, False), ("b", "2", 0, 21, True),
+                        ("c", "3", 3, 22, False)]))
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", "1"): 9, ("c", "3"): 3}
+    # physical layout: only delta files so far
+    kinds = {f.get("kind") for fs in t.snap.buckets.values() for f in fs}
+    assert kinds == {"delta"}
+
+
+def test_mor_stale_replay_loses(spark, tmp_base):
+    """A replayed change with a lower seq than the stored row must lose —
+    seq-resolved idempotence without any fence."""
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [("a", "1", 5, 50, False)]))
+    t.merge(_ch(spark, [("a", "1", 1, 10, False)]))  # stale replay
+    assert t.read().collect()[0]["v"] == 5
+
+
+def test_mor_compaction_resolves_and_bounds_deltas(spark, tmp_base):
+    t = _mk(spark, tmp_base, "m", "mor")
+    for i in range(6):
+        t.merge(
+            _ch(spark, [("a", "1", i, 100 + i, False), ("b", str(i), i, 200 + i, False)]),
+            compact_threshold=3,
+        )
+    # merges beyond the threshold triggered compaction
+    per_bucket = {
+        b: [f.get("kind") for f in fs] for b, fs in t.snap.buckets.items()
+    }
+    assert all(k.count("delta") <= 3 for k in per_bucket.values())
+    assert any("base" in k for k in per_bucket.values())
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got[("a", "1")] == 5 and len(got) == 7
+
+    # explicit full compaction → all base, state unchanged
+    before = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    t.compact(threshold=0)
+    kinds = {f.get("kind") for fs in t.snap.buckets.values() for f in fs}
+    assert kinds == {"base"}
+    after = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert before == after
+
+
+def test_mor_delete_survives_compaction(spark, tmp_base):
+    """Compacting a bucket whose latest version is a delete must drop the
+    key for good (not resurrect the base row)."""
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [("a", "1", 1, 10, False)]))
+    t.compact(threshold=0)  # base row on disk
+    t.merge(_ch(spark, [("a", "1", 0, 20, True)]))  # delete marker in delta
+    assert t.read().count() == 0
+    t.compact(threshold=0)
+    assert t.read().count() == 0
+    # re-insert after compacted delete
+    t.merge(_ch(spark, [("a", "1", 7, 30, False)]))
+    assert t.read().collect()[0]["v"] == 7
+
+
+def test_cow_and_mor_agree(spark, tmp_base):
+    cow = _mk(spark, tmp_base, "c", "cow")
+    mor = _mk(spark, tmp_base, "m", "mor")
+    batches = [
+        [("a", "1", 1, 10, False), ("b", "2", 2, 11, False)],
+        [("a", "1", 9, 20, False), ("c", "3", 3, 21, False)],
+        [("b", "2", 0, 30, True), ("d", "4", 4, 31, False)],
+        [("b", "2", 8, 40, False)],
+    ]
+    for rows in batches:
+        cow.merge(_ch(spark, rows))
+        mor.merge(_ch(spark, rows), compact_threshold=2)
+    k = lambda t: sorted(tuple(r) for r in t.read().collect())
+    assert k(cow) == k(mor)
+
+
+def test_mor_schema_evolution_across_deltas(spark, tmp_base):
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [("a", "1", 1, 10, False)]))
+    t.add_column("stars", "int")
+    ch = spark.createDataFrame(
+        [("b", "2", 2, 20, 5, False)], SCHEMA + ", stars int, __deleted boolean"
+    )
+    t.merge(ch)
+    got = {r["path"]: r["stars"] for r in t.read().collect()}
+    assert got == {"1": None, "2": 5}
+    t.compact(threshold=0)
+    got = {r["path"]: r["stars"] for r in t.read().collect()}
+    assert got == {"1": None, "2": 5}
