@@ -11,7 +11,8 @@
   events/sec measured after a warm-up batch.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_EVENTS (default 2_000_000), BENCH_BATCH (default 500_000),
+BENCH_EVENTS (default 4_000_000), BENCH_BATCH (default 1_000_000),
+BENCH_KEYS / BENCH_CONTENT_REPEAT (log shape),
 BENCH_SKIP_QUERIES=1 to run only the replay (used by the scaling runner).
 """
 
@@ -30,8 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
-    batch = int(os.environ.get("BENCH_BATCH", "500000"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "4000000"))
+    batch = int(os.environ.get("BENCH_BATCH", "1000000"))
+    n_keys = int(os.environ.get("BENCH_KEYS", str(max(n_events // 10, 1000))))
+    content_repeat = int(os.environ.get("BENCH_CONTENT_REPEAT", "8"))
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(cpus * 2, 32))))
 
     from milvus_cdc_spark.session import get_spark
 
@@ -54,11 +58,11 @@ def main() -> None:
     try:
         job = ReplicateJob(
             spark=spark,
-            source=generated_source(num_keys=max(n_events // 10, 1000)),
+            source=generated_source(num_keys=n_keys, content_repeat=content_repeat),
             table_root=os.path.join(work, "tbl"),
             metastore=Metastore(os.path.join(work, "meta")),
             batch_size=batch,
-            num_buckets=max(cpus * 2, 32),
+            num_buckets=n_buckets,
             collect_metrics=True,
             log_max_seq=n_events - 1,
         )

@@ -55,9 +55,13 @@ def normalize_content(content: pd.Series) -> pd.Series:
 def stable_bucket(repo: Column, path: Column, num_buckets: int) -> Column:
     """Deterministic bucket id for key (repo, path) — JVM-side, no UDF.
 
-    xxhash64 is stable across Spark versions and sessions, which is what
-    makes the table's bucket layout durable (the analog of the reference's
+    Uses ``pmod(hash(...), n)`` — Murmur3, the exact formula of Spark's
+    own HashPartitioning — so ``df.repartition(n, repo, path)`` places
+    every row in the task whose index equals its bucket id. That identity
+    is what lets the merge write one file per bucket with NO extra
+    exchange after the dedup shuffle (single-shuffle merge). Murmur3 is
+    stable across sessions and Spark versions, which makes the table's
+    bucket layout durable (the analog of the reference's
     vchannel→pchannel hash, ``funcutil.ToPhysicalChannel``).
-    ``pmod`` keeps the result non-negative.
     """
-    return F.pmod(F.xxhash64(repo, path), F.lit(num_buckets)).cast(IntegerType())
+    return F.pmod(F.hash(repo, path), F.lit(num_buckets)).cast(IntegerType())

@@ -37,12 +37,22 @@ def lww_dedup(
     type_col: str = "event_type",
     delete_type: str = "delete",
     impl: str = "agg",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Keep the winning (max-seq) event per key; adds ``__deleted``.
 
     Output has exactly one row per key — the contract
     :meth:`IceboxTable.merge` requires.
+
+    ``num_partitions`` pins the shuffle to an explicit
+    ``repartition(n, *key_cols)``; the groupBy/window reuses that
+    clustering (no second exchange), and because Spark's hash
+    partitioning is ``pmod(hash(keys), n)`` — the same formula as
+    ``stable_bucket`` — partition index == table bucket id, so a
+    downstream bucket-partitioned write needs no exchange either.
     """
+    if num_partitions:
+        events = events.repartition(num_partitions, *key_cols)
     is_delete = F.col(type_col) == delete_type
     if impl == "window":
         w = Window.partitionBy(*key_cols).orderBy(

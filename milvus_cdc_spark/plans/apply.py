@@ -32,7 +32,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_cdc_spark.functions.hashing import content_sha256, normalize_content
@@ -67,6 +67,7 @@ class ReplicateJob:
     task_id: str = "task0"
     batch_size: int = 100_000
     num_buckets: int = 32
+    log_partitions: int = 8  # partition_id domain of the event log
     write_mode: str = "mor"  # "mor": O(batch) delta merges; "cow": bucket rewrite
     compact_threshold: int = 8  # mor: max delta files per bucket before compaction
     salt_factor: int = 0  # 0 = rely on AQE only; >0 = explicit hot-repo salting
@@ -113,12 +114,17 @@ class ReplicateJob:
                 self.task_id, batch_id - 1, {}, global_offset=lo
             )
 
+        # The log is immutable: find every DDL position in the replay
+        # range ONCE (column-pruned scan of two small columns) instead of
+        # probing per batch — batch caps become driver-side arithmetic.
+        ddl_seqs = self._scan_ddl_positions(lo, until_seq)
+
         batches = 0
         total_rows = 0
         t0 = time.time()
         while lo < until_seq and (max_batches is None or batches < max_batches):
             hi = min(lo + self.batch_size, until_seq)
-            applied_hi, rows = self.apply_batch(batch_id, lo, hi)
+            applied_hi, rows = self.apply_batch(batch_id, lo, hi, ddl_seqs=ddl_seqs)
             lo = applied_hi
             batch_id += 1
             batches += 1
@@ -135,18 +141,38 @@ class ReplicateJob:
         }
 
     # ------------------------------------------------------ one batch
-    def apply_batch(self, batch_id: int, lo: int, hi: int) -> tuple[int, int]:
+    def _scan_ddl_positions(self, lo: int, hi: int) -> list[int]:
+        """All DDL event_seqs in (lo, hi] — one column-pruned scan (the
+        parquet reader touches two small columns; the generator evaluates
+        two expressions)."""
+        events = self.source(self.spark, lo, hi)
+        is_ddl = F.col("event_type").isin(*DDL_TYPES)
+        return sorted(
+            r[0]
+            for r in events.filter(is_ddl).select("event_seq").distinct().collect()
+        )
+
+    def apply_batch(
+        self,
+        batch_id: int,
+        lo: int,
+        hi: int,
+        ddl_seqs: list[int] | None = None,
+    ) -> tuple[int, int]:
         """Apply events in (lo, hi]; returns (offset applied through, rows in).
 
         If a DDL event sits inside the range, the batch is capped at it:
         DML prefix first, then the DDL as its own commit — DDL-before-DML.
+        ``ddl_seqs`` (from :meth:`_scan_ddl_positions`) avoids a per-batch
+        probe; pass None to probe this range directly.
         """
         events = self.source(self.spark, lo, hi)
         events = scope_filter(events, self.repo_pattern, self.exclude_repos)
 
-        # ONE probe job: per-partition DML stats (checkpoint positions,
-        # lineage, metrics — M1/M2/K5) fused with the first-DDL-seq scan.
-        stats, min_ddl = self._probe(events)
+        if ddl_seqs is None:
+            ddl_seqs = self._scan_ddl_positions(lo, hi)
+        in_range = [s for s in ddl_seqs if lo < s <= hi]
+        min_ddl = in_range[0] if in_range else None
         ddl = None
         if min_ddl is not None:
             ddl = (
@@ -154,16 +180,11 @@ class ReplicateJob:
                 .select("event_type", "schema_change")
                 .collect()[0]
             )
-            # stats beyond the DDL cap are stale → recompute on the
-            # capped range (rare path: only batches containing DDL).
-            stats, _ = self._probe(
-                events.filter(F.col("event_seq") < min_ddl)
-            )
         data_hi = (min_ddl - 1) if min_ddl is not None else hi
 
         rows_in = 0
-        if data_hi > lo and (stats or not self.collect_metrics):
-            rows_in = self._apply_dml(batch_id, lo, data_hi, events, stats)
+        if data_hi > lo:
+            rows_in = self._apply_dml(batch_id, lo, data_hi, events)
 
         applied_hi = data_hi
         if ddl is not None:
@@ -174,31 +195,22 @@ class ReplicateJob:
             )
         return applied_hi, rows_in
 
-    def _probe(self, events: DataFrame) -> tuple[list, int | None]:
-        """Per-partition DML stats + min DDL seq, one aggregation job."""
-        is_dml = F.col("event_type").isin(*DML_TYPES)
-        is_ddl = F.col("event_type").isin(*DDL_TYPES)
-        if not self.collect_metrics:
-            row = events.agg(F.min(F.when(is_ddl, F.col("event_seq"))).alias("m")).collect()
-            return [], row[0]["m"]
-        rows = (
-            events.groupBy("partition_id")
-            .agg(
-                F.count(F.when(is_dml, 1)).alias("rows_in"),
-                F.min(F.when(is_dml, F.col("event_seq"))).alias("min_seq"),
-                F.max(F.when(is_dml, F.col("event_seq"))).alias("max_seq"),
-                F.sum(F.when(is_dml, F.octet_length("content"))).alias("bytes"),
-                F.min(F.when(is_ddl, F.col("event_seq"))).alias("min_ddl"),
-            )
-            .collect()
-        )
-        ddls = [r["min_ddl"] for r in rows if r["min_ddl"] is not None]
-        stats = [r for r in rows if r["rows_in"]]
-        return stats, (min(ddls) if ddls else None)
+    def _stats_aggs(self) -> list:
+        """Per-log-partition conditional aggregates for Observation —
+        computed DURING the merge action (CollectMetrics node), replacing
+        a dedicated stats pass (M1/M2/K5 bookkeeping for free)."""
+        aggs = []
+        for p in range(self.log_partitions):
+            cond = F.col("partition_id") == p
+            aggs += [
+                F.count(F.when(cond, 1)).alias(f"rows_{p}"),
+                F.min(F.when(cond, F.col("event_seq"))).alias(f"min_{p}"),
+                F.max(F.when(cond, F.col("event_seq"))).alias(f"max_{p}"),
+                F.sum(F.when(cond, F.octet_length("content"))).alias(f"bytes_{p}"),
+            ]
+        return aggs
 
-    def _apply_dml(
-        self, batch_id: int, lo: int, hi: int, events: DataFrame, stats: list
-    ) -> int:
+    def _apply_dml(self, batch_id: int, lo: int, hi: int, events: DataFrame) -> int:
         table = self.table()
         dml = supported_dml(events).filter(
             (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
@@ -207,11 +219,17 @@ class ReplicateJob:
             shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             dml = salted_repartition(dml, "repo", shuffle_n, self.salt_factor)
 
+        obs = None
+        if self.collect_metrics:
+            obs = Observation(f"batch-{batch_id}")
+            dml = dml.observe(obs, *self._stats_aggs())
+
         changes = self._build_changes(dml)
         t0 = time.time()
         snapshot_id = table.merge(
             changes,
             compact_threshold=self.compact_threshold,
+            changes_partitioned=True,
             properties={
                 "task_id": self.task_id,
                 "batch_id": batch_id,
@@ -221,47 +239,66 @@ class ReplicateJob:
         )
         dt = time.time() - t0
 
-        now = time.time()
-        positions = {int(r["partition_id"]): int(r["max_seq"]) for r in stats}
-        rows_total = int(sum(r["rows_in"] for r in stats)) if stats else 0
-        self.metastore.append_lineage(
-            [
+        rows_total = 0
+        positions: dict[int, int] = {}
+        if obs is not None:
+            m = obs.get  # available: the merge action executed the plan
+            stats = [
                 {
-                    "task_id": self.task_id,
-                    "batch_id": batch_id,
-                    "partition_id": int(r["partition_id"]),
-                    "offset_start": int(r["min_seq"]),
-                    "offset_end": int(r["max_seq"]),
-                    "snapshot_id": snapshot_id,
-                    "committed_ts": now,
+                    "partition_id": p,
+                    "rows_in": m[f"rows_{p}"],
+                    "min_seq": m[f"min_{p}"],
+                    "max_seq": m[f"max_{p}"],
+                    "bytes": m[f"bytes_{p}"],
                 }
-                for r in stats
+                for p in range(self.log_partitions)
+                if m[f"rows_{p}"]
             ]
-        )
-        lag_base = self.log_max_seq
-        self.metastore.append_metrics(
-            [
-                {
-                    "task_id": self.task_id,
-                    "batch_id": batch_id,
-                    "partition_id": int(r["partition_id"]),
-                    "rows_in": int(r["rows_in"]),
-                    "rows_applied": int(r["rows_in"]),
-                    "bytes": int(r["bytes"] or 0),
-                    "events_per_sec": (rows_total / dt) if dt > 0 else None,
-                    "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
-                }
-                for r in stats
-            ]
-        )
+            now = time.time()
+            positions = {int(r["partition_id"]): int(r["max_seq"]) for r in stats}
+            rows_total = int(sum(r["rows_in"] for r in stats))
+            self.metastore.append_lineage(
+                [
+                    {
+                        "task_id": self.task_id,
+                        "batch_id": batch_id,
+                        "partition_id": int(r["partition_id"]),
+                        "offset_start": int(r["min_seq"]),
+                        "offset_end": int(r["max_seq"]),
+                        "snapshot_id": snapshot_id,
+                        "committed_ts": now,
+                    }
+                    for r in stats
+                ]
+            )
+            lag_base = self.log_max_seq
+            self.metastore.append_metrics(
+                [
+                    {
+                        "task_id": self.task_id,
+                        "batch_id": batch_id,
+                        "partition_id": int(r["partition_id"]),
+                        "rows_in": int(r["rows_in"]),
+                        "rows_applied": int(r["rows_in"]),
+                        "bytes": int(r["bytes"] or 0),
+                        "events_per_sec": (rows_total / dt) if dt > 0 else None,
+                        "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
+                    }
+                    for r in stats
+                ]
+            )
         self.metastore.save_checkpoint(
             self.task_id, batch_id, positions, global_offset=hi
         )
         return rows_total
 
     def _build_changes(self, dml: DataFrame) -> DataFrame:
-        """LWW dedup + vectorized payload transforms → merge-ready changes."""
-        deduped = lww_dedup(dml, KEY_COLS)
+        """LWW dedup + vectorized payload transforms → merge-ready changes.
+
+        The dedup shuffle is pinned to num_buckets partitions on the merge
+        key, so its output is ALREADY bucket-aligned — the merge write
+        adds no second exchange (single-shuffle hot path)."""
+        deduped = lww_dedup(dml, KEY_COLS, num_partitions=self.num_buckets)
         content = F.col("content")
         if self.normalize:
             content = normalize_content(content)

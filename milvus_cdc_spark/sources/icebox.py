@@ -266,6 +266,7 @@ class IceboxTable:
         delete_col: str = _DELETED_COL,
         properties: dict[str, Any] | None = None,
         compact_threshold: int = 8,
+        changes_partitioned: bool = False,
     ) -> int:
         """MERGE INTO: upsert-or-delete ``changes`` by the table's key.
 
@@ -319,12 +320,16 @@ class IceboxTable:
                 F.col(delete_col).alias(_DELETED_COL),
                 F.col(_BUCKET_COL),
             )
-            (
-                delta.repartition(min(snap.num_buckets, 64), F.col(_BUCKET_COL))
-                .write.partitionBy(_BUCKET_COL)
-                .mode("overwrite")
-                .parquet(staging)
-            )
+            if not changes_partitioned:
+                # caller did not pre-cluster by key → co-locate buckets here
+                delta = delta.repartition(
+                    min(snap.num_buckets, 64), F.col(_BUCKET_COL)
+                )
+            # with changes_partitioned=True the upstream dedup shuffle used
+            # repartition(num_buckets, *keys): partition index == bucket id
+            # (same pmod(hash, n) formula) → each task writes exactly one
+            # bucket dir; the whole merge has ONE shuffle.
+            delta.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(staging)
             staged = _list_bucket_files(staging)
             if not staged:
                 return snap.snapshot_id  # empty batch → no new snapshot
