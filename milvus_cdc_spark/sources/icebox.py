@@ -190,21 +190,35 @@ class IceboxTable:
         return self.read_buckets(snap, None)
 
     def read_buckets(self, snap: Snapshot, bucket_ids: list[int] | None) -> DataFrame:
+        """Read selected buckets. Only DIRTY buckets (those holding delta
+        files) pay the winner-resolution shuffle; clean buckets are a
+        plain parquet scan unioned in — a full-table read after steady
+        compaction shuffles only the small dirty fraction, not 100 TB."""
         if bucket_ids is None:
-            files = [f for fs in snap.buckets.values() for f in fs]
+            selected = list(snap.buckets.keys())
         else:
-            files = [f for b in bucket_ids for f in snap.buckets.get(str(b), [])]
-        bases = [f for f in files if f.get("kind", "base") == "base"]
-        deltas = [f for f in files if f.get("kind", "base") == "delta"]
+            selected = [str(b) for b in bucket_ids if str(b) in snap.buckets]
+        dirty = [
+            b for b in selected
+            if any(f.get("kind", "base") == "delta" for f in snap.buckets[b])
+        ]
+        clean = [b for b in selected if b not in set(dirty)]
+        clean_df = self._read_files(
+            snap, [f for b in clean for f in snap.buckets[b]], with_deleted=False
+        )
+        if not dirty:
+            return clean_df
+        dirty_files = [f for b in dirty for f in snap.buckets[b]]
+        bases = [f for f in dirty_files if f.get("kind", "base") == "base"]
+        deltas = [f for f in dirty_files if f.get("kind", "base") == "delta"]
         base_df = self._read_files(snap, bases, with_deleted=False)
-        if not deltas:
-            return base_df
         delta_df = self._read_files(snap, deltas, with_deleted=True)
-        return self._resolve(
+        resolved = self._resolve(
             snap,
             base_df.withColumn(_DELETED_COL, F.lit(False)).withColumn("__d", F.lit(0)),
             delta_df.withColumn("__d", F.lit(1)),
         )
+        return clean_df.unionByName(resolved)
 
     def _resolve(self, snap: Snapshot, base: DataFrame, deltas: DataFrame) -> DataFrame:
         """max_by winner per key over base ∪ deltas, ordered by (seq,

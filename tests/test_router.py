@@ -1,0 +1,73 @@
+"""Multi-table routing (S2 vchannel-dispatch analog) + offline tools."""
+
+import json
+import os
+import subprocess
+import sys
+
+from milvus_cdc_spark.plans.metastore import Metastore
+from milvus_cdc_spark.plans.router import MultiTableRouter, Route
+from milvus_cdc_spark.plans.apply import parquet_source
+from milvus_cdc_spark.sources.event_log import generate_events, write_event_log
+from milvus_cdc_spark.sources.icebox import IceboxTable
+from tests.oracle import engine_hashes, expected_hashes
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_router_splits_by_scope(spark, tmp_base):
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 3000, num_keys=300), log)
+    router = MultiTableRouter(
+        spark,
+        parquet_source(log),
+        Metastore(os.path.join(tmp_base, "meta")),
+        routes=[
+            Route("org0", os.path.join(tmp_base, "t0"), r"^org0/"),
+            Route("rest", os.path.join(tmp_base, "t1"), r"^org[^0]/"),
+        ],
+        batch_size=1000,
+        num_buckets=4,
+    )
+    router.run(until_seq=2999)
+    pdf = spark.read.parquet(log).toPandas()
+    exp = expected_hashes(pdf)
+    exp0 = {k: v for k, v in exp.items() if k[0].startswith("org0/")}
+    exp1 = {k: v for k, v in exp.items() if not k[0].startswith("org0/")}
+    got0 = engine_hashes(IceboxTable(spark, os.path.join(tmp_base, "t0")).read())
+    got1 = engine_hashes(IceboxTable(spark, os.path.join(tmp_base, "t1")).read())
+    assert got0 == exp0 and got1 == exp1
+    pos = router.positions()
+    assert pos["org0"]["global_offset"] == 2999
+    assert pos["rest"]["global_offset"] == 2999
+
+
+def test_data_diff_and_msg_count_tools(spark, tmp_base):
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 1500, num_keys=200), log)
+    from milvus_cdc_spark.plans.apply import ReplicateJob
+
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        batch_size=800, num_buckets=4,
+    )
+    job.run(until_seq=1499)
+
+    env = {**os.environ, "SPARK_GRAFT_MASTER": "local[4]"}
+    diff = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "data_diff.py"),
+         os.path.join(tmp_base, "tbl"), "--log", log],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    out = json.loads(diff.stdout.strip().splitlines()[-1])
+    assert out["identical"] is True and diff.returncode == 0
+
+    cnt = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "msg_count.py"), log],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    out = json.loads(cnt.stdout.strip().splitlines()[-1])
+    assert out["total"] == 1500
+    assert sum(out["per_type"].values()) == 1500
