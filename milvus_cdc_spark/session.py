@@ -41,10 +41,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # max_by/min_by (TypedImperativeAggregate) run on
-        # ObjectHashAggregateExec, which falls back to SORT-based
-        # aggregation after only 128 groups by default — catastrophic for
-        # the LWW dedup/merge hash aggs. Keep them hash-based.
+        # TypedImperativeAggregates (collect_list/percentile/...) run on
+        # ObjectHashAggregateExec, which silently falls back to SORT-based
+        # aggregation after only 128 groups by default. Keep them
+        # hash-based. (Note: max_by over a wide struct plans as
+        # SortAggregate regardless — its buffer isn't hash-mutable — which
+        # is fine: the partial/final split still combines map-side;
+        # pinned by tests/test_plans.py.)
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", str(1 << 30))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

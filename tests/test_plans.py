@@ -1,0 +1,121 @@
+"""Physical-plan assertions: the scale claims, pinned by tests.
+
+These read `.explain`/executedPlan output and assert the properties the
+100 TB design depends on — if a refactor silently adds a shuffle or
+breaks scan pushdown, these fail before any benchmark notices.
+"""
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.operators.dedup import lww_dedup
+from milvus_cdc_spark.plans.apply import ReplicateJob, parquet_source
+from milvus_cdc_spark.plans.metastore import Metastore
+from milvus_cdc_spark.sources.event_log import generate_events, write_event_log
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_range_predicate_pushed_to_parquet_scan(spark, tmp_base):
+    """The seek: offset-range filter must reach the scan (row-group
+    pruning via min/max stats), not run post-scan only."""
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 2000, num_keys=200), log)
+    df = parquet_source(log)(spark, 500, 1000)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert "GreaterThan(event_seq,500)" in m.group(1)
+    assert "LessThanOrEqual(event_seq,1000)" in m.group(1)
+
+
+def test_column_pruning_reaches_scan(spark, tmp_base):
+    """A 2-column projection must read a 2-column schema."""
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 1000, num_keys=100), log)
+    df = spark.read.parquet(log).select("event_seq", "event_type")
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"event_seq", "event_type"}
+
+
+def test_dedup_agg_has_map_side_partial(spark):
+    """The LWW agg must keep a PARTIAL aggregate on the map side — the
+    property that collapses hot-key duplicates before the shuffle (skew
+    defense). Note: max_by over a string-struct payload plans as
+    SortAggregate (its buffer isn't hash-agg mutable); that's fine —
+    the sort is within already-clustered partitions and spillable. What
+    must never regress is the partial/final split."""
+    ev = generate_events(spark, 10_000, num_keys=2_000)
+    plan = _plan(lww_dedup(ev, ["repo", "path"]))
+    assert "partial_max_by" in plan
+
+
+def test_dedup_single_exchange_and_map_side_combine(spark):
+    """One shuffle: explicit repartition(n, keys) satisfies the groupBy's
+    clustering, so no second Exchange; partial_max_by before the exchange
+    is the map-side combine that defeats hot-key skew."""
+    ev = generate_events(spark, 10_000, num_keys=2_000)
+    plan = _plan(lww_dedup(ev, ["repo", "path"], num_partitions=16))
+    assert plan.count("Exchange") == 1
+    assert "partial_max_by" in plan
+
+
+def test_mor_merge_plan_has_single_shuffle(spark, tmp_base):
+    """The whole hot path (dedup + sha UDF + delta write) = ONE exchange.
+
+    Captured by building the exact changes plan the merge writes."""
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 3000, num_keys=300), log)
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        num_buckets=8,
+    )
+    job.table()
+    dml = parquet_source(log)(spark, -1, 2999).filter(
+        F.col("event_type").isin("insert", "update", "delete")
+    )
+    changes = job._build_changes(dml)
+    plan = _plan(changes)
+    assert plan.count("Exchange") == 1, plan
+    assert "ArrowEvalPython" in plan  # the vectorized sha256 UDF
+    # no row-at-a-time python: BatchEvalPython never appears
+    assert "BatchEvalPython" not in plan
+
+
+def test_scope_filter_pushes_into_scan(spark, tmp_base):
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 1000, num_keys=100), log)
+    from milvus_cdc_spark.operators.filters import supported_dml
+
+    df = supported_dml(spark.read.parquet(log))
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert re.search(r"PushedFilters: \[In\(event_type", plan), plan
+
+
+def test_broadcast_join_for_small_dims(spark, tmp_base):
+    """Catalyst must broadcast a small dimension against the big log —
+    the T5 dropped-tables anti-join shape."""
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 5000, num_keys=500), log)
+    big = spark.read.parquet(log)
+    dropped = spark.createDataFrame([("org0/repo0",)], "repo string")
+    joined = big.join(dropped, on="repo", how="left_anti")
+    # AQE decides at runtime; .count() would build a different query —
+    # execute THIS plan, then inspect its final adaptive form
+    joined.collect()
+    plan = _plan(joined)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan
