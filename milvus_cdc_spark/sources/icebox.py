@@ -435,11 +435,23 @@ class IceboxTable:
         buckets: dict[str, list[dict[str, Any]]],
         new_id: int,
         threshold: int,
+        mode: str = "minor",
     ) -> dict[str, list[dict[str, Any]]]:
-        """Rewrite buckets whose delta count exceeds ``threshold`` into a
-        single resolved base file each — the maintenance op (analog of the
-        reference's Flush/compaction on the op channel). One Spark job
-        covers all due buckets."""
+        """Compact buckets whose delta count exceeds ``threshold``.
+
+        - **minor** (the inline default): squash each due bucket's DELTA
+          files into ONE delta file — resolution among deltas only, delete
+          markers kept (they must still mask base rows). Cost is
+          O(delta bytes), independent of table size — the property that
+          keeps sustained 10^10-event throughput from decaying as the
+          table grows (LSM minor compaction / Milvus segment merge).
+        - **major**: fully resolve base+deltas into one base file per
+          bucket, dropping tombstones — O(bucket); run as an explicit
+          maintenance op (:meth:`compact`, the Flush/compaction analog of
+          the reference's op channel).
+
+        One Spark job covers all due buckets.
+        """
         due = [
             b
             for b, fs in buckets.items()
@@ -447,9 +459,8 @@ class IceboxTable:
         ]
         if not due:
             return buckets
-        tmp_snap = Snapshot(**{**snap.__dict__, "buckets": buckets})
-        resolved = self.read_buckets(tmp_snap, [int(b) for b in due])
         keys = snap.key_cols
+        seq = snap.seq_col
         bucket_expr = (
             stable_bucket(F.col(keys[0]), F.col(keys[1]), snap.num_buckets)
             if len(keys) == 2
@@ -458,6 +469,24 @@ class IceboxTable:
         staging = os.path.join(
             self.root, "data", f"compact-{new_id}-{uuid.uuid4().hex[:8]}"
         )
+        if mode == "minor":
+            delta_files = [
+                f for b in due for f in buckets[b] if f.get("kind", "base") == "delta"
+            ]
+            deltas = self._read_files(snap, delta_files, with_deleted=True)
+            payload_cols = [c for c in deltas.columns if c not in keys]
+            payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+            squashed = (
+                deltas.groupBy(*keys)
+                .agg(F.max_by(payload, F.col(seq)).alias("__w"))
+                .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+            )
+            out_kind = "delta"
+            resolved = squashed
+        else:
+            tmp_snap = Snapshot(**{**snap.__dict__, "buckets": buckets})
+            resolved = self.read_buckets(tmp_snap, [int(b) for b in due])
+            out_kind = "base"
         (
             resolved.withColumn(_BUCKET_COL, bucket_expr)
             .repartition(len(due), F.col(_BUCKET_COL))
@@ -466,24 +495,33 @@ class IceboxTable:
             .parquet(staging)
         )
         for b in due:
-            buckets[b] = []
+            if mode == "minor":
+                buckets[b] = [
+                    f for f in buckets[b] if f.get("kind", "base") == "base"
+                ]
+            else:
+                buckets[b] = []
         for b, p in _list_bucket_files(staging):
             buckets.setdefault(str(b), []).append(
-                {"path": p, "schema_version": snap.current_schema_version, "kind": "base"}
+                {"path": p, "schema_version": snap.current_schema_version,
+                 "kind": out_kind}
             )
         for b in due:
             if not buckets[b]:
                 del buckets[b]
         return buckets
 
-    def compact(self, threshold: int = 0) -> int:
-        """Force-compact all buckets with more than ``threshold`` delta
-        files; returns the new snapshot id (or current if nothing due)."""
+    def compact(self, threshold: int = 0, mode: str = "major") -> int:
+        """Maintenance compaction of all buckets with more than
+        ``threshold`` delta files; returns the new snapshot id (or current
+        if nothing due). ``mode="major"`` resolves into base files and
+        drops tombstones; ``mode="minor"`` squashes deltas only."""
         assert self.snap is not None
         snap = self.snap
         new_id = snap.snapshot_id + 1
         buckets = self._compact_buckets(
-            snap, {b: list(fs) for b, fs in snap.buckets.items()}, new_id, threshold
+            snap, {b: list(fs) for b, fs in snap.buckets.items()}, new_id, threshold,
+            mode=mode,
         )
         if buckets == snap.buckets:
             return snap.snapshot_id

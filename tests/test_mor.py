@@ -49,12 +49,12 @@ def test_mor_compaction_resolves_and_bounds_deltas(spark, tmp_base):
             _ch(spark, [("a", "1", i, 100 + i, False), ("b", str(i), i, 200 + i, False)]),
             compact_threshold=3,
         )
-    # merges beyond the threshold triggered compaction
+    # merges beyond the threshold triggered MINOR compaction: delta-file
+    # count stays bounded, base files are untouched (O(delta) cost)
     per_bucket = {
         b: [f.get("kind") for f in fs] for b, fs in t.snap.buckets.items()
     }
     assert all(k.count("delta") <= 3 for k in per_bucket.values())
-    assert any("base" in k for k in per_bucket.values())
     got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
     assert got[("a", "1")] == 5 and len(got) == 7
 
@@ -111,3 +111,23 @@ def test_mor_schema_evolution_across_deltas(spark, tmp_base):
     t.compact(threshold=0)
     got = {r["path"]: r["stars"] for r in t.read().collect()}
     assert got == {"1": None, "2": 5}
+
+
+def test_minor_compaction_keeps_tombstones_and_winners(spark, tmp_base):
+    """Minor squash resolves among deltas only: the max-seq version per
+    key survives INCLUDING delete markers (they must still mask base)."""
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [("a", "1", 1, 10, False), ("b", "2", 2, 11, False)]))
+    t.compact(threshold=0, mode="major")  # base rows on disk
+    t.merge(_ch(spark, [("a", "1", 5, 20, False)]))
+    t.merge(_ch(spark, [("a", "1", 0, 30, True)]))   # delete, higher seq
+    t.merge(_ch(spark, [("b", "2", 9, 31, False)]))
+    t.compact(threshold=0, mode="minor")
+    kinds = [f.get("kind") for fs in t.snap.buckets.values() for f in fs]
+    assert kinds.count("delta") <= 2  # one squashed delta per touched bucket
+    assert "base" in kinds            # base untouched by minor
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("b", "2"): 9}     # a/1 masked by the squashed tombstone
+    t.compact(threshold=0, mode="major")
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("b", "2"): 9}
