@@ -199,6 +199,53 @@ def cdc_props_extract(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# OLAP breadth (Spark gives these for free — SURVEY §2.8; pinned here so
+# the engine's general query surface is oracle-checked too). Money math
+# in integer cents for engine-exact values.
+# --------------------------------------------------------------------------
+
+def olap_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: groupBy two cols + aggregates over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def olap_top_customers(spark, sf_dir):
+    """Join + group + top-k: top 10 customers by order value (cents)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_cents").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def olap_orders_with_big_lineitems(spark, sf_dir):
+    """Semi-join (EXISTS): orders having a lineitem with quantity >= 45."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: dedup over `documents`
 # --------------------------------------------------------------------------
 
@@ -318,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_metrics_rates": cdc_metrics_rates,
         "cdc_running_position": cdc_running_position,
         "cdc_props_extract": cdc_props_extract,
+        "olap_pricing_summary": olap_pricing_summary,
+        "olap_top_customers": olap_top_customers,
+        "olap_orders_with_big_lineitems": olap_orders_with_big_lineitems,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -502,6 +552,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "olap_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                     AS sum_disc_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "olap_top_customers": """
+            SELECT c_custkey, c_name,
+                   sum(round(o_totalprice * 100)::BIGINT) AS total_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_cents DESC, c_custkey LIMIT 10
+        """,
+        "olap_orders_with_big_lineitems": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,

@@ -80,7 +80,8 @@ class TaskManager:
         """Run (or resume) a task. Any failure pauses the task with the
         reason persisted, mirroring ``pauseTaskWithReason``."""
         task = self.meta.load_task(task_id)
-        assert task is not None, task_id
+        if task is None:
+            raise ValueError(f"no such task: {task_id}")
         if task["state"] == STATE_PAUSED and task.get("reason") == "user":
             raise RuntimeError(f"task {task_id} paused by user; resume first")
         task["state"] = STATE_RUNNING
