@@ -45,6 +45,8 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        # JVM/codegen warm-up so the first query isn't charged for it
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
         for name, fn in entry.queries().items():
             t0 = time.time()
             fn(spark, sf_dir).count()

@@ -154,3 +154,65 @@ def test_metrics_and_lineage_emitted(spark, tmp_base, log_path):
         F.col("event_type").isin("insert", "update", "delete")
     )
     assert total == dml.count()
+
+
+def test_pathological_single_hot_key(spark, tmp_base):
+    """Worst-case skew: EVERY event hits one key. Map-side combine must
+    collapse it (correctness here; the plan property is pinned in
+    test_plans.py) — winner is the global max seq."""
+    rows = [
+        (0, i, "update" if i else "insert", "hot/r", "p", f"c{i}", "py", f"v{i}", None, None)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "partition_id int, event_seq long, event_type string, repo string, "
+        "path string, commit string, lang string, content string, "
+        "schema_change string, event_ts timestamp",
+    )
+    log = os.path.join(tmp_base, "hotlog")
+    df.write.parquet(log)
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        batch_size=700, num_buckets=4,
+    )
+    job.run(until_seq=1999)
+    out = job.table().read().collect()
+    assert len(out) == 1 and out[0]["content"] == "v1999"
+
+
+def test_consecutive_ddl_events(spark, tmp_base):
+    """Back-to-back DDLs (and a DDL as the first event) each get their
+    own capped batch and apply in seq order."""
+    import json as _json
+
+    def add(name):
+        return _json.dumps({"op": "add_column", "name": name, "type": "int"})
+
+    rows = [
+        (0, 0, "add_column", None, None, None, None, None, add("c0"), None),
+        (0, 1, "add_column", None, None, None, None, None, add("c1"), None),
+        (0, 2, "insert", "r", "p", "cx", "py", "vx", None, None),
+        (0, 3, "add_column", None, None, None, None, None, add("c2"), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "partition_id int, event_seq long, event_type string, repo string, "
+        "path string, commit string, lang string, content string, "
+        "schema_change string, event_ts timestamp",
+    )
+    log = os.path.join(tmp_base, "ddllog")
+    df.write.parquet(log)
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        batch_size=100, num_buckets=4,
+    )
+    job.run(until_seq=3)
+    t = job.table()
+    assert {"c0", "c1", "c2"} <= set(t.schema.fieldNames())
+    assert t.read().count() == 1
+    assert job.metastore.load_checkpoint(job.task_id)["global_offset"] == 3
