@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
     p.add_argument("verb", choices=[
         "create", "run", "pause", "resume", "get", "position", "list",
-        "delete", "compact",
+        "delete", "compact", "rebucket",
     ])
     p.add_argument("--meta", help="metastore directory")
     p.add_argument("--task", help="task id")
@@ -71,11 +71,18 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "delete":
         tm().delete(a.task)
         out = {"task_id": a.task, "deleted": True}
-    elif a.verb == "compact":
+    elif a.verb in ("compact", "rebucket"):
         from milvus_cdc_spark.sources.icebox import IceboxTable
 
+        if not IceboxTable.exists(a.table):
+            print(json.dumps({"error": f"no such table: {a.table}"}))
+            return 1
         t = IceboxTable(get_spark(master=a.master), a.table)
-        out = {"table": a.table, "snapshot_id": t.compact(threshold=0)}
+        if a.verb == "compact":
+            out = {"table": a.table, "snapshot_id": t.compact(threshold=0)}
+        else:
+            out = {"table": a.table, "snapshot_id": t.rebucket(a.num_buckets),
+                   "num_buckets": a.num_buckets}
     print(json.dumps(out, default=str))
     return 0
 

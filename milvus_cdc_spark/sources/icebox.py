@@ -511,6 +511,51 @@ class IceboxTable:
                 del buckets[b]
         return buckets
 
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Change the table's bucket count — the N↔M channel-remap analog
+        (``core/util/channel_mapping.go``; SURVEY §2.4 O6). One shuffle:
+        resolve the current state, repartition by the new bucket formula,
+        rewrite as base files. Run as maintenance when a table outgrows
+        its bucket count (bucket size should stay ~file-sized at scale)."""
+        assert self.snap is not None
+        snap = self.snap
+        data = self.read()
+        keys = snap.key_cols
+        new_id = snap.snapshot_id + 1
+        bucket_expr = (
+            stable_bucket(F.col(keys[0]), F.col(keys[1]), new_num_buckets)
+            if len(keys) == 2
+            else F.pmod(F.xxhash64(*keys), F.lit(new_num_buckets)).cast("int")
+        )
+        staging = os.path.join(
+            self.root, "data", f"rebucket-{new_id}-{uuid.uuid4().hex[:8]}"
+        )
+        (
+            data.repartition(new_num_buckets, *keys)
+            .withColumn(_BUCKET_COL, bucket_expr)
+            .write.partitionBy(_BUCKET_COL)
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        buckets: dict[str, list[dict[str, Any]]] = {}
+        for b, p in _list_bucket_files(staging):
+            buckets.setdefault(str(b), []).append(
+                {"path": p, "schema_version": snap.current_schema_version,
+                 "kind": "base"}
+            )
+        new_snap = Snapshot(
+            **{
+                **snap.__dict__,
+                "snapshot_id": new_id,
+                "parent_id": snap.snapshot_id,
+                "buckets": buckets,
+                "num_buckets": new_num_buckets,
+                "committed_ts": time.time(),
+            }
+        )
+        self._commit(new_snap)
+        return new_id
+
     def compact(self, threshold: int = 0, mode: str = "major") -> int:
         """Maintenance compaction of all buckets with more than
         ``threshold`` delta files; returns the new snapshot id (or current

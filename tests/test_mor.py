@@ -131,3 +131,19 @@ def test_minor_compaction_keeps_tombstones_and_winners(spark, tmp_base):
     t.compact(threshold=0, mode="major")
     got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
     assert got == {("b", "2"): 9}
+
+
+def test_rebucket_preserves_state(spark, tmp_base):
+    """O6 channel-remap analog: changing bucket count rewrites placement
+    in one shuffle, state identical, merges keep working after."""
+    t = _mk(spark, tmp_base, "m", "mor")
+    t.merge(_ch(spark, [(f"r{i}", "p", i, 100 + i, False) for i in range(40)]))
+    before = sorted(tuple(r) for r in t.read().collect())
+    t.rebucket(16)
+    assert t.snap.num_buckets == 16
+    assert len(t.snap.buckets) > 4  # spread over the new bucket space
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # post-rebucket merges route by the new formula
+    t.merge(_ch(spark, [("r1", "p", 999, 500, False)]))
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got[("r1", "p")] == 999 and len(got) == 40
