@@ -79,3 +79,35 @@ def test_streaming_epoch_fence_skips_recommit(spark, tmp_base):
     table.refresh()
     assert table.snapshots() == snaps  # fenced: no re-commit
     assert engine_hashes(table.read()) == state
+
+
+def test_streaming_live_tail_processing_time(spark, tmp_base):
+    """processingTime tailing (the TimerChecker analog): events appended
+    WHILE the query runs are picked up by subsequent triggers."""
+    import time
+
+    _write_chunk(spark, tmp_base, 0, 800)
+    rep = _mk(spark, tmp_base)
+    q = rep.start(available_now=False, processing_time="1 second")
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if rep.job.table().snapshots() and rep.job.table().read().count() > 0:
+                break
+            time.sleep(1)
+        _write_chunk(spark, tmp_base, 800, 800)  # append while live
+        deadline = time.time() + 60
+        ok = False
+        while time.time() < deadline:
+            rep.job.table().refresh()
+            pos = rep.job.metastore.load_checkpoint(rep.job.task_id)
+            if pos["batch_id"] >= 1:
+                ok = True
+                break
+            time.sleep(1)
+        assert ok, "second epoch never applied"
+    finally:
+        q.stop()
+    pdf = spark.read.parquet(os.path.join(tmp_base, "log")).toPandas()
+    rep.job.table().refresh()
+    assert engine_hashes(rep.job.table().read()) == expected_hashes(pdf)
