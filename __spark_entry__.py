@@ -533,31 +533,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_metrics_rates": """
             SELECT event_type, count(*) AS rows,
-                   sum(round(value * 100)::BIGINT) AS sum_cents
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
             FROM events GROUP BY event_type
         """,
         "cdc_running_position": """
             SELECT user_id, event_id, rn, running_cents FROM (
               SELECT user_id, event_id,
                      row_number() OVER w AS rn,
-                     sum(round(value * 100)::BIGINT) OVER
+                     (sum(round(value * 100)::BIGINT) OVER
                        (PARTITION BY user_id ORDER BY event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_cents
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
             ) WHERE rn <= 200
         """,
         "cdc_props_extract": """
             SELECT event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                    count(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
         """,
         "olap_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity)::BIGINT AS sum_qty,
-                   sum(round(l_extendedprice * 100)::BIGINT) AS sum_base_cents,
-                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                   sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
                      AS sum_disc_cents,
                    count(*) AS count_order
             FROM lineitem
@@ -566,7 +566,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "olap_top_customers": """
             SELECT c_custkey, c_name,
-                   sum(round(o_totalprice * 100)::BIGINT) AS total_cents,
+                   sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name

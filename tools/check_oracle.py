@@ -7,6 +7,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -24,10 +25,16 @@ TABLES = (
 
 
 def canon(v):
+    # Type-tagged on purpose: the driver's value hash distinguishes
+    # Decimal('123') (DuckDB HUGEINT/DECIMAL sums) from int 123 (Spark
+    # BIGINT), so an uncast integer sum() in an oracle must fail HERE,
+    # not only in CORRECTNESS_r{N}.json.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
