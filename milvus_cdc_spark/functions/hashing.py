@@ -65,3 +65,19 @@ def stable_bucket(repo: Column, path: Column, num_buckets: int) -> Column:
     vchannel→pchannel hash, ``funcutil.ToPhysicalChannel``).
     """
     return F.pmod(F.hash(repo, path), F.lit(num_buckets)).cast(IntegerType())
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
+    """THE bucket-placement formula, any key arity: ``pmod(hash(*keys),
+    n)`` (Murmur3 — identical to :func:`stable_bucket` for two keys).
+
+    Every write path — merge, compaction, rebucket, and bootstrap
+    ``overwrite`` — must derive bucket ids through THIS helper. Two
+    formulas coexisting in the codebase is a data-corruption bug class:
+    a table bootstrapped under formula A and merged under formula B
+    reads the wrong buckets for existing keys, yielding duplicate rows
+    and missed deletes that no per-batch test catches.
+    """
+    return F.pmod(
+        F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)
+    ).cast(IntegerType())

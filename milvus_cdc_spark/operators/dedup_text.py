@@ -38,12 +38,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+def word_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct per doc by
+    default.
 
     Split on whitespace; shingle = n consecutive words joined by one
     space. Docs shorter than n words produce no shingles (they can only
     be exact dups). All array ops are Catalyst built-ins.
+
+    Scale note: shingle dedup is PER-DOCUMENT, so it is done with
+    ``array_distinct`` on the shingle array *before* the explode — zero
+    shuffle. A post-explode ``.distinct()`` would exchange O(corpus
+    tokens) rows just to dedup within each doc. Consumers whose
+    aggregation is duplicate-insensitive (MinHash: min) pass
+    ``distinct=False`` and skip even the array scan.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: sequence(1, 0) would be DESCENDING in Spark; short docs get []
@@ -56,10 +66,9 @@ def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
             " ", *[F.element_at(words, i + j) for j in range(n)]
         ),
     )
-    return (
-        docs.select(F.col(id_col), F.explode(shingle).alias("shingle"))
-        .distinct()
-    )
+    if distinct:
+        shingle = F.array_distinct(shingle)
+    return docs.select(F.col(id_col), F.explode(shingle).alias("shingle"))
 
 
 def minhash_signatures(
@@ -73,9 +82,12 @@ def minhash_signatures(
 
     Hash family i is ``md5(i || ':' || shingle)`` — engine-portable and
     deterministic. The min aggregation is map-side partial, so the
-    shuffle is O(docs × num_hashes) strings.
+    shuffle is O(docs × num_hashes) strings. Shingle dedup is skipped
+    entirely (``distinct=False``): min is duplicate-insensitive, so the
+    scan→partial-min→final-min pipeline has exactly one exchange of
+    O(docs) rows.
     """
-    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
+    sh = word_shingles(docs, id_col, text_col, n=shingle_n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(num_hashes)

@@ -8,7 +8,7 @@ mirrors each formula), no UDFs in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
@@ -119,9 +119,14 @@ def doc_fingerprint(
     in every sliding window of ``window`` consecutive shingles, output
     the distinct set size + overall min (a compact per-doc sketch).
 
-    Window-min over position uses a ranged window frame — one shuffle by
-    doc, ordered scan, no UDF. The shingle hash is the md5 hex string
-    itself (lexicographic min), engine-portable.
+    Shuffle-free: the sliding-window minima are computed with array
+    higher-order functions (``transform`` over positions +
+    ``array_min(slice(...))``) entirely inside the row that holds the
+    doc, so the whole operator is a projection — no posexplode, no
+    window-by-doc exchange. Trailing windows shorter than ``window``
+    still emit their min (slice clamps at the array end), matching a
+    ROWS BETWEEN CURRENT ROW AND k FOLLOWING frame. The shingle hash is
+    the md5 hex string itself (lexicographic min), engine-portable.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     idx = F.when(
@@ -131,16 +136,19 @@ def doc_fingerprint(
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(shingle_n)])
     )
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(shingle).alias("pos", "sh")
-    ).withColumn("h", F.md5("sh"))
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    mins = exploded.withColumn("wmin", F.min("h").over(w))
-    return mins.groupBy(id_col).agg(
-        F.countDistinct("wmin").alias("n_fingerprints"),
-        F.min("wmin").alias("min_fingerprint"),
+    hashes = F.transform(shingle, lambda s: F.md5(s))
+    # positions are 1-based for slice(); guard sequence(1, 0) descending
+    pos = F.when(
+        F.size(hashes) >= 1, F.sequence(F.lit(1), F.size(hashes))
+    ).otherwise(F.array().cast("array<int>"))
+    wmins = F.transform(pos, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return (
+        docs.select(F.col(id_col), wmins.alias("wmins"))
+        # docs with no shingles emitted no rows under the old explode path
+        .filter(F.size("wmins") >= 1)
+        .select(
+            F.col(id_col),
+            F.size(F.array_distinct("wmins")).cast("long").alias("n_fingerprints"),
+            F.array_min("wmins").alias("min_fingerprint"),
+        )
     )

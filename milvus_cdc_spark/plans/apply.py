@@ -166,8 +166,11 @@ class ReplicateJob:
         ``ddl_seqs`` (from :meth:`_scan_ddl_positions`) avoids a per-batch
         probe; pass None to probe this range directly.
         """
-        events = self.source(self.spark, lo, hi)
-        events = scope_filter(events, self.repo_pattern, self.exclude_repos)
+        raw = self.source(self.spark, lo, hi)
+        # Scope filtering is DML-only: a DDL event may carry a repo the
+        # scope excludes, but schema changes are table-level and must
+        # still apply (and the lookup below must still find the row).
+        events = scope_filter(raw, self.repo_pattern, self.exclude_repos)
 
         if ddl_seqs is None:
             ddl_seqs = self._scan_ddl_positions(lo, hi)
@@ -176,7 +179,7 @@ class ReplicateJob:
         ddl = None
         if min_ddl is not None:
             ddl = (
-                events.filter(F.col("event_seq") == min_ddl)
+                raw.filter(F.col("event_seq") == min_ddl)
                 .select("event_type", "schema_change")
                 .collect()[0]
             )
@@ -247,55 +250,74 @@ class ReplicateJob:
         rows_total = 0
         positions: dict[int, int] = {}
         if obs is not None:
-            m = obs.get  # available: the merge action executed the plan
-            stats = [
-                {
-                    "partition_id": p,
-                    "rows_in": m[f"rows_{p}"],
-                    "min_seq": m[f"min_{p}"],
-                    "max_seq": m[f"max_{p}"],
-                    "bytes": m[f"bytes_{p}"],
-                }
-                for p in range(self.log_partitions)
-                if m[f"rows_{p}"]
-            ]
-            now = time.time()
-            positions = {int(r["partition_id"]): int(r["max_seq"]) for r in stats}
-            rows_total = int(sum(r["rows_in"] for r in stats))
-            self.metastore.append_lineage(
-                [
-                    {
-                        "task_id": self.task_id,
-                        "batch_id": batch_id,
-                        "partition_id": int(r["partition_id"]),
-                        "offset_start": int(r["min_seq"]),
-                        "offset_end": int(r["max_seq"]),
-                        "snapshot_id": snapshot_id,
-                        "committed_ts": now,
-                    }
-                    for r in stats
-                ]
-            )
-            lag_base = self.log_max_seq
-            self.metastore.append_metrics(
-                [
-                    {
-                        "task_id": self.task_id,
-                        "batch_id": batch_id,
-                        "partition_id": int(r["partition_id"]),
-                        "rows_in": int(r["rows_in"]),
-                        "rows_applied": int(r["rows_in"]),
-                        "bytes": int(r["bytes"] or 0),
-                        "events_per_sec": (rows_total / dt) if dt > 0 else None,
-                        "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
-                    }
-                    for r in stats
-                ]
+            positions, rows_total = self._emit_observability(
+                obs, batch_id, snapshot_id, dt
             )
         self.metastore.save_checkpoint(
             self.task_id, batch_id, positions, global_offset=hi
         )
         return rows_total
+
+    def _emit_observability(
+        self, obs: Observation, batch_id: int, snapshot_id: int, dt: float
+    ) -> tuple[dict[int, int], int]:
+        """Turn a finished batch's Observation into lineage + metrics rows
+        (M1/M2) and per-partition positions (K5). Shared by the batch
+        loop and the Structured Streaming foreachBatch body so both paths
+        carry the same observability contract."""
+        # An all-filtered-out plan can execute with ZERO tasks (empty
+        # micro-batch partitions inside foreachBatch), leaving the
+        # CollectMetrics accumulator untouched — getRow() then yields a
+        # schemaless empty row that obs.get cannot convert. No tasks ⇒
+        # no rows ⇒ nothing to record.
+        if obs._jo.getRow().size() == 0:
+            return {}, 0
+        m = obs.get  # available: the merge action executed the plan
+        stats = [
+            {
+                "partition_id": p,
+                "rows_in": m[f"rows_{p}"],
+                "min_seq": m[f"min_{p}"],
+                "max_seq": m[f"max_{p}"],
+                "bytes": m[f"bytes_{p}"],
+            }
+            for p in range(self.log_partitions)
+            if m[f"rows_{p}"]
+        ]
+        now = time.time()
+        positions = {int(r["partition_id"]): int(r["max_seq"]) for r in stats}
+        rows_total = int(sum(r["rows_in"] for r in stats))
+        self.metastore.append_lineage(
+            [
+                {
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "partition_id": int(r["partition_id"]),
+                    "offset_start": int(r["min_seq"]),
+                    "offset_end": int(r["max_seq"]),
+                    "snapshot_id": snapshot_id,
+                    "committed_ts": now,
+                }
+                for r in stats
+            ]
+        )
+        lag_base = self.log_max_seq
+        self.metastore.append_metrics(
+            [
+                {
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "partition_id": int(r["partition_id"]),
+                    "rows_in": int(r["rows_in"]),
+                    "rows_applied": int(r["rows_in"]),
+                    "bytes": int(r["bytes"] or 0),
+                    "events_per_sec": (rows_total / dt) if dt > 0 else None,
+                    "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
+                }
+                for r in stats
+            ]
+        )
+        return positions, rows_total
 
     def _build_changes(self, dml: DataFrame) -> DataFrame:
         """LWW dedup + vectorized payload transforms → merge-ready changes.

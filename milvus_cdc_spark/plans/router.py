@@ -7,10 +7,13 @@ N icebox tables, each selected by a repo-scope predicate — a pure
 Catalyst filter per table (the predicate pushes into the shared scan),
 no custom dispatch code.
 
-Routes must be disjoint for exactly-once bookkeeping to stay per-route
-(validated eagerly on overlapping literal scopes where possible; regex
-scopes are the operator's responsibility, same as the reference's
-duplicate-collection guard, ``server/cdc_impl.go:328-406``).
+Routes must be disjoint for exactly-once bookkeeping to stay per-route.
+Literal scopes (no regex metacharacters) are validated eagerly at
+construction — ``rlike`` is an unanchored substring match, so two
+literal patterns overlap iff one contains the other; patterns that use
+regex metacharacters cannot be decided statically and remain the
+operator's responsibility, same as the reference's duplicate-collection
+guard (``server/cdc_impl.go:328-406``).
 
 Each route is a full ReplicateJob with its own checkpoint stream, so a
 lagging table never blocks the others — the main/solo dispatcher
@@ -49,6 +52,7 @@ class MultiTableRouter:
         roots = [r.table_root for r in routes]
         if len(set(roots)) != len(roots):
             raise ValueError("two routes target one table")
+        self._check_literal_scope_overlap(routes)
         self.jobs = {
             r.name: ReplicateJob(
                 spark=spark,
@@ -61,6 +65,32 @@ class MultiTableRouter:
             )
             for r in routes
         }
+
+    @staticmethod
+    def _check_literal_scope_overlap(routes: list[Route]) -> None:
+        """Eager disjointness check for LITERAL scopes. ``rlike`` is an
+        unanchored substring match, so two literal patterns overlap iff
+        one is a substring of the other ("*" = match-all = empty
+        substring). Patterns containing regex metacharacters cannot be
+        decided statically and stay the operator's responsibility."""
+        meta = set("\\^$+?{}[]|().")
+
+        def literal(p: str) -> str | None:
+            if p == "*":
+                return ""
+            body = p[:-2] if p.endswith(".*") else p
+            return None if any(ch in meta for ch in body) else body
+
+        lits = [(r, literal(r.repo_pattern)) for r in routes]
+        lits = [(r, s) for r, s in lits if s is not None]
+        for i, (ra, a) in enumerate(lits):
+            for rb, b in lits[i + 1:]:
+                if a in b or b in a:
+                    raise ValueError(
+                        f"routes {ra.name!r} and {rb.name!r} have overlapping "
+                        f"literal scopes ({ra.repo_pattern!r}, {rb.repo_pattern!r}): "
+                        "events would double-apply to both tables"
+                    )
 
     def run(self, until_seq: int, max_batches: int | None = None) -> dict[str, dict]:
         """Advance every route. Sequential here (one Spark app = shared

@@ -48,8 +48,11 @@ class TaskManager:
         if self.meta.load_task(task_id) is not None:
             raise DuplicateTaskError(f"task {task_id} exists")
         for t in self.meta.list_tasks():
-            if t["table_root"] == table_root and t["state"] != STATE_PAUSED:
-                # one writer per table — the duplicate-collection guard
+            if t["table_root"] == table_root:
+                # One writer per table — the duplicate-collection guard.
+                # PAUSED tasks count too: a paused task can be resumed at
+                # any time, and "create over a paused task, then resume
+                # both" would put two writers on one table.
                 raise DuplicateTaskError(
                     f"table {table_root} already covered by task {t['task_id']}"
                 )

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from milvus_cdc_spark.functions.hashing import stable_bucket
+from milvus_cdc_spark.functions.hashing import bucket_expr
 
 _BUCKET_COL = "__bucket"
 _DELETED_COL = "__deleted"
@@ -318,9 +318,8 @@ class IceboxTable:
         keys = snap.key_cols
         target_schema = snap.schema()
 
-        bucket_expr = stable_bucket(F.col(keys[0]), F.col(keys[1]), snap.num_buckets) \
-            if len(keys) == 2 else F.pmod(F.xxhash64(*keys), F.lit(snap.num_buckets)).cast("int")
-        changes = changes.withColumn(_BUCKET_COL, bucket_expr)
+        bucket = bucket_expr(keys, snap.num_buckets)
+        changes = changes.withColumn(_BUCKET_COL, bucket)
 
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
@@ -393,7 +392,7 @@ class IceboxTable:
                 )
                 .filter(~F.col(delete_col))
                 .drop(delete_col)
-                .withColumn(_BUCKET_COL, bucket_expr)
+                .withColumn(_BUCKET_COL, bucket)
             )
             (
                 new_data.repartition(max(len(affected), 1), F.col(_BUCKET_COL))
@@ -461,11 +460,7 @@ class IceboxTable:
             return buckets
         keys = snap.key_cols
         seq = snap.seq_col
-        bucket_expr = (
-            stable_bucket(F.col(keys[0]), F.col(keys[1]), snap.num_buckets)
-            if len(keys) == 2
-            else F.pmod(F.xxhash64(*keys), F.lit(snap.num_buckets)).cast("int")
-        )
+        bucket = bucket_expr(keys, snap.num_buckets)
         staging = os.path.join(
             self.root, "data", f"compact-{new_id}-{uuid.uuid4().hex[:8]}"
         )
@@ -488,7 +483,7 @@ class IceboxTable:
             resolved = self.read_buckets(tmp_snap, [int(b) for b in due])
             out_kind = "base"
         (
-            resolved.withColumn(_BUCKET_COL, bucket_expr)
+            resolved.withColumn(_BUCKET_COL, bucket)
             .repartition(len(due), F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
@@ -522,17 +517,13 @@ class IceboxTable:
         data = self.read()
         keys = snap.key_cols
         new_id = snap.snapshot_id + 1
-        bucket_expr = (
-            stable_bucket(F.col(keys[0]), F.col(keys[1]), new_num_buckets)
-            if len(keys) == 2
-            else F.pmod(F.xxhash64(*keys), F.lit(new_num_buckets)).cast("int")
-        )
+        bucket = bucket_expr(keys, new_num_buckets)
         staging = os.path.join(
             self.root, "data", f"rebucket-{new_id}-{uuid.uuid4().hex[:8]}"
         )
         (
             data.repartition(new_num_buckets, *keys)
-            .withColumn(_BUCKET_COL, bucket_expr)
+            .withColumn(_BUCKET_COL, bucket)
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(staging)
@@ -587,13 +578,13 @@ class IceboxTable:
         assert self.snap is not None
         snap = self.snap
         keys = snap.key_cols
-        bucket_expr = F.pmod(F.xxhash64(*keys), F.lit(snap.num_buckets)).cast("int")
+        bucket = bucket_expr(keys, snap.num_buckets)
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
         target_schema = snap.schema()
         (
             df.select(*[F.col(f.name).cast(f.dataType) for f in target_schema.fields])
-            .withColumn(_BUCKET_COL, bucket_expr)
+            .withColumn(_BUCKET_COL, bucket)
             .repartition(snap.num_buckets, F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")

@@ -24,9 +24,12 @@ and source offset tracking (B1-B4 collapse into trigger config):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import time
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.operators.filters import scope_filter
 from milvus_cdc_spark.plans.apply import ReplicateJob
 from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
 
@@ -43,13 +46,28 @@ class StreamingReplicator:
     # ------------------------------------------------------------- epoch
     def _apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body. DDL events split the epoch into ordered
-        sub-ranges (DDL applied between them — §3.3 ordering)."""
+        sub-ranges (DDL applied between them — §3.3 ordering). Each
+        segment is its own batch_id + commit + checkpoint, with the same
+        Observation-piggybacked lineage/metrics/positions the batch loop
+        emits (M1/M2/K5 hold on this path too).
+        """
         job = self.job
+        ckpt = job.metastore.load_checkpoint(job.task_id)
+        if ckpt.get("dropped"):
+            return  # drop_table already replayed: positions frozen
         table = job.table()
 
-        # epoch fence: Spark re-runs an epoch whose commit crashed; skip
-        # if this epoch already committed to the table.
-        if int(table.properties.get("epoch", -1)) >= epoch_id:
+        # Epoch fence, per (epoch, segment): Spark re-runs an epoch whose
+        # stream commit crashed. Fencing on epoch alone would skip the
+        # WHOLE epoch when only segment 0 had committed — losing post-DDL
+        # DML and the DDL itself — so a same-epoch replay resumes from
+        # the first uncommitted segment instead. The fence is only an
+        # optimization: empty segments commit nothing, so the recorded
+        # segment can lag true progress, and the replayed merges are
+        # idempotent (seq-resolved LWW) anyway.
+        last_epoch = int(table.properties.get("epoch", -1))
+        last_seg = int(table.properties.get("epoch_segment", -1))
+        if last_epoch > epoch_id:
             return
 
         ddl_rows = (
@@ -58,39 +76,76 @@ class StreamingReplicator:
             .orderBy("event_seq")
             .collect()
         )
-        bounds = [r["event_seq"] for r in ddl_rows]
-        lo = None  # unbounded below: epoch contents are what Spark handed us
         segments: list[tuple[int | None, int | None]] = []
-        prev: int | None = None
-        for b in bounds:
-            segments.append((prev, b))
-            prev = b
+        prev: int | None = None  # unbounded below: epoch contents are what Spark handed us
+        for r in ddl_rows:
+            segments.append((prev, r["event_seq"]))
+            prev = r["event_seq"]
         segments.append((prev, None))
 
-        batch_id = int(job.metastore.load_checkpoint(job.task_id)["batch_id"]) + 1
+        resume_from = 0
+        if last_epoch == epoch_id:
+            if last_seg >= len(segments) - 1:
+                # every segment committed; only the final checkpoint write
+                # (or the stream commit) was lost
+                job.metastore.save_checkpoint(job.task_id, int(ckpt["batch_id"]), {})
+                return
+            resume_from = last_seg + 1
+            # the DDL paired with the last committed segment may not have
+            # applied before the crash — re-apply, idempotent-by-check
+            if 0 <= last_seg < len(ddl_rows):
+                d = ddl_rows[last_seg]
+                job._apply_ddl(d["event_type"], d["schema_change"])
+
+        batch_id = int(ckpt["batch_id"])
         for i, (seg_lo, seg_hi) in enumerate(segments):
+            if i < resume_from:
+                continue
+            batch_id += 1
             df = batch_df
             if seg_lo is not None:
                 df = df.filter(F.col("event_seq") > seg_lo)
             if seg_hi is not None:
                 df = df.filter(F.col("event_seq") < seg_hi)
-            changes = job._build_changes(
-                df.filter(~F.col("event_type").isin(*DDL_TYPES))
+            # scope filtering is DML-only (DDL is table-level)
+            dml = scope_filter(
+                df.filter(~F.col("event_type").isin(*DDL_TYPES)),
+                job.repo_pattern,
+                job.exclude_repos,
             )
-            table.merge(
+            obs = None
+            if job.collect_metrics:
+                obs = Observation(f"epoch-{epoch_id}-seg-{i}")
+                dml = dml.observe(obs, *job._stats_aggs())
+            changes = job._build_changes(dml)
+            t0 = time.time()
+            snapshot_id = table.merge(
                 changes,
                 compact_threshold=job.compact_threshold,
                 changes_partitioned=True,
                 properties={
                     "task_id": job.task_id,
+                    "batch_id": batch_id,
                     "epoch": epoch_id,
                     "epoch_segment": i,
                 },
             )
+            dt = time.time() - t0
+            positions: dict[int, int] = {}
+            global_offset = None
+            if obs is not None:
+                positions, _ = job._emit_observability(obs, batch_id, snapshot_id, dt)
+                if positions:
+                    global_offset = max(positions.values())
             if seg_hi is not None:
                 ddl = ddl_rows[i]
-                job._apply_ddl(ddl["event_type"], ddl["schema_change"])
-        job.metastore.save_checkpoint(job.task_id, batch_id, {})
+                job._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id)
+                global_offset = int(seg_hi)
+            job.metastore.save_checkpoint(
+                job.task_id, batch_id, positions, global_offset=global_offset
+            )
+            if job.metastore.load_checkpoint(job.task_id).get("dropped"):
+                return  # drop_table inside the epoch: stop applying
 
     # --------------------------------------------------------------- run
     def start(

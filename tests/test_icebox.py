@@ -111,3 +111,38 @@ def test_empty_merge_no_new_snapshot(spark, tmp_base):
     sid = t.snap.snapshot_id
     out = t.merge(_changes(spark, []))
     assert out == sid
+
+
+def test_overwrite_bootstrap_then_merge_consistent_buckets(spark, tmp_base):
+    """Regression: overwrite() once bucketed with a DIFFERENT hash than
+    merge/compact/rebucket; a bootstrapped table then merged read the
+    wrong buckets for existing keys — duplicate rows, missed deletes.
+    All write paths now share one bucket formula (functions.bucket_expr).
+    """
+    t = _mk(spark, tmp_base, buckets=16)
+    base = spark.range(500).select(
+        F.concat(F.lit("r"), F.col("id") % 40).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.col("id").alias("v"),
+    )
+    t.overwrite(base)
+    # update + delete EXISTING keys through merge
+    t.merge(_changes(spark, [("r1", "1", 999, False), ("r2", "2", 0, True)]))
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert len(got) == 499  # one deleted, none duplicated
+    assert got[("r1", "1")] == 999
+    assert ("r2", "2") not in got
+
+
+def test_bucket_formula_single_source_of_truth():
+    """Every bucket-id expression in the table format must come from
+    functions.bucket_expr — grep-level pin against reintroducing a
+    second formula."""
+    import inspect
+
+    import milvus_cdc_spark.sources.icebox as icebox
+
+    src = inspect.getsource(icebox)
+    assert "xxhash64" not in src, "divergent bucket hash reintroduced"
+    # exactly one import of the helper, used at every withColumn site
+    assert src.count("F.hash(") == 0, "inline hash bucket formula"

@@ -119,3 +119,38 @@ def test_broadcast_join_for_small_dims(spark, tmp_base):
     plan = _plan(joined)
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _docs(spark):
+    rows = [(i, f"the quick brown fox {i} jumps over the lazy dog " * 3) for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_signatures_single_exchange(spark):
+    """Shingle dedup must NOT shuffle: min is duplicate-insensitive, so
+    the only Exchange in the signature plan is the final per-doc agg.
+    A post-explode .distinct() here would exchange O(corpus tokens)."""
+    from milvus_cdc_spark.operators.dedup_text import minhash_signatures
+
+    plan = _plan(minhash_signatures(_docs(spark), "doc_id", "text", num_hashes=8))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan  # map-side combine before the one shuffle
+
+
+def test_word_shingles_distinct_is_shuffle_free(spark):
+    """Per-doc shingle dedup is array_distinct before the explode — a
+    pure projection, zero Exchange."""
+    from milvus_cdc_spark.operators.dedup_text import word_shingles
+
+    plan = _plan(word_shingles(_docs(spark), "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+
+
+def test_doc_fingerprint_is_shuffle_free(spark):
+    """Winnowing window-minima via array HOFs: the whole fingerprint is
+    a projection — no posexplode + window-by-doc exchange."""
+    from milvus_cdc_spark.operators.text import doc_fingerprint
+
+    plan = _plan(doc_fingerprint(_docs(spark), "doc_id", "text"))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan

@@ -71,3 +71,33 @@ def test_data_diff_and_msg_count_tools(spark, tmp_base):
     out = json.loads(cnt.stdout.strip().splitlines()[-1])
     assert out["total"] == 1500
     assert sum(out["per_type"].values()) == 1500
+
+
+def test_router_rejects_overlapping_literal_scopes(spark, tmp_base):
+    """Literal scopes are checked for disjointness eagerly: rlike is an
+    unanchored substring match, so 'org1' overlaps 'org1/repo3'."""
+    import pytest
+
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.plans.router import MultiTableRouter, Route
+
+    meta = Metastore(os.path.join(tmp_base, "meta"))
+    with pytest.raises(ValueError, match="overlapping"):
+        MultiTableRouter(
+            spark, None, meta,
+            [Route("a", os.path.join(tmp_base, "ta"), "org1"),
+             Route("b", os.path.join(tmp_base, "tb"), "org1/repo3")],
+        )
+    # match-all overlaps everything
+    with pytest.raises(ValueError, match="overlapping"):
+        MultiTableRouter(
+            spark, None, meta,
+            [Route("a", os.path.join(tmp_base, "ta"), "*"),
+             Route("b", os.path.join(tmp_base, "tb"), "org1")],
+        )
+    # regex scopes stay the operator's responsibility (no false positive)
+    MultiTableRouter(
+        spark, None, meta,
+        [Route("a", os.path.join(tmp_base, "ta"), r"^org0/"),
+         Route("b", os.path.join(tmp_base, "tb"), r"^org[^0]/")],
+    )

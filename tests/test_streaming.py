@@ -111,3 +111,76 @@ def test_streaming_live_tail_processing_time(spark, tmp_base):
     pdf = spark.read.parquet(os.path.join(tmp_base, "log")).toPandas()
     rep.job.table().refresh()
     assert engine_hashes(rep.job.table().read()) == expected_hashes(pdf)
+
+
+def test_streaming_emits_lineage_metrics_positions(spark, tmp_base):
+    """Streaming parity with the batch observability contract (M1/M2/K5):
+    lineage + metrics rows per segment, per-partition positions in the
+    checkpoint, and per-segment batch_ids."""
+    from pyspark.sql import functions as F
+
+    _write_chunk(spark, tmp_base, 0, 3000, ddl_every=1000)
+    rep = _mk(spark, tmp_base)
+    rep.run_until_drained()
+    job = rep.job
+    lin = job.metastore.lineage_df(spark)
+    met = job.metastore.metrics_df(spark)
+    assert lin.count() > 0 and met.count() > 0
+    snaps = set(job.table().snapshots())
+    assert {r["snapshot_id"] for r in lin.select("snapshot_id").distinct().collect()} <= snaps
+    # metrics rows_in sums to the number of DML events in the log
+    dml = spark.read.parquet(os.path.join(tmp_base, "log")).filter(
+        F.col("event_type").isin("insert", "update", "delete")
+    )
+    assert met.agg(F.sum("rows_in")).collect()[0][0] == dml.count()
+    # DDL split the epoch: more than one batch_id
+    assert met.select("batch_id").distinct().count() > 1
+    # per-partition positions recorded
+    ckpt = job.metastore.load_checkpoint(job.task_id)
+    assert ckpt["positions"], ckpt
+    max_seq = spark.read.parquet(os.path.join(tmp_base, "log")).agg(
+        F.max("event_seq")
+    ).collect()[0][0]
+    assert max(int(v) for v in ckpt["positions"].values()) <= max_seq
+
+
+def test_streaming_crash_mid_epoch_resumes_segments(spark, tmp_base):
+    """ADVICE fix: a crash AFTER segment 0's merge but BEFORE the DDL /
+    later segments must not fence off the rest of the epoch on replay —
+    the replay resumes from the first uncommitted segment and applies the
+    skipped DDL."""
+    from pyspark.sql import functions as F
+
+    _write_chunk(spark, tmp_base, 0, 3000, ddl_every=1200)
+    rep = _mk(spark, tmp_base)
+    batch_df = spark.read.parquet(os.path.join(tmp_base, "log"))
+
+    # crash injection: first _apply_ddl call dies (after segment 0 merged)
+    real_apply_ddl = rep.job._apply_ddl
+    calls = {"n": 0}
+
+    def dying_ddl(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before DDL")
+
+    rep.job._apply_ddl = dying_ddl
+    try:
+        rep._apply_epoch(batch_df, 0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1
+    table = rep.job.table()
+    table.refresh()
+    committed_snaps = len(table.snapshots())
+    assert int(table.properties["epoch"]) == 0
+    assert int(table.properties["epoch_segment"]) == 0
+
+    # Spark re-delivers the same epoch; segment 0 must be fenced, the
+    # missed DDL re-applied, and the remaining segments committed.
+    rep.job._apply_ddl = real_apply_ddl
+    rep._apply_epoch(batch_df, 0)
+    table.refresh()
+    assert len(table.snapshots()) > committed_snaps
+    assert any(c.startswith("extra_") for c in table.schema.fieldNames())
+    assert engine_hashes(table.read()) == expected_hashes(batch_df.toPandas())

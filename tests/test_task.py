@@ -59,3 +59,17 @@ def test_failure_pauses_with_reason(spark, env):
         tm.run("tA", until_seq=1199)
     t = tm.get("tA")
     assert t["state"] == "paused" and t["reason"]
+
+
+def test_create_over_paused_task_rejected(spark, env):
+    """The one-writer-per-table guard must include PAUSED tasks: a paused
+    task can be resumed, and then two writers would cover one table."""
+    import pytest
+
+    from milvus_cdc_spark.plans.task import DuplicateTaskError
+
+    tm, log, tmp = env
+    tm.create("tA", log, os.path.join(tmp, "tbl"))
+    tm.pause("tA")
+    with pytest.raises(DuplicateTaskError):
+        tm.create("tB", log, os.path.join(tmp, "tbl"))
