@@ -44,7 +44,8 @@ from milvus_cdc_spark.operators.text import (
 
 N_PARTITIONS = 8  # synthetic partition count for the events table
 QUERY_K = 10
-PLANES = make_planes(64, 4, seed=42)
+PLANES = make_planes(64, 8, seed=42)        # table 0 (also the ann probe set)
+PLANES_T1 = make_planes(64, 8, seed=43)     # near-dup LSH table 1
 QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
 
 
@@ -315,13 +316,15 @@ def q_ann_bruteforce(spark, sf_dir):
 
 def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(
-        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=QUERY_K, n_planes=4, seed=42
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=QUERY_K,
+        n_planes=8, seed=42, probe_hamming=1,
     )
 
 
 def q_embedding_neardup(spark, sf_dir):
     return pairwise_cosine_neardup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4, seed=42
+        _t(spark, sf_dir, "embeddings"), threshold=0.3,
+        n_planes=8, seed=42, n_tables=2,
     )
 
 
@@ -403,6 +406,14 @@ def _planes_sql(vec_expr: str, planes) -> str:
 
 def _qvec_sql() -> str:
     return "[" + ",".join(f"{x!r}" for x in QUERY_VEC) + "]::DOUBLE[]"
+
+
+def _probe_list_sql() -> str:
+    """Multi-probe bucket set (query bucket + Hamming-1 neighbors),
+    computed driver-side — mirrors similarity.probe_buckets exactly."""
+    from milvus_cdc_spark.operators.similarity import probe_buckets
+
+    return ", ".join(str(b) for b in probe_buckets(QUERY_VEC, PLANES, hamming=1))
 
 
 _SHINGLES = """
@@ -703,38 +714,44 @@ def oracle_sql() -> dict[str, str]:
             WITH bucketed AS (
               SELECT vec_id, embedding,
                      {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket
-              FROM embeddings),
-            qb AS (SELECT {_planes_sql(_qvec_sql(), PLANES)} AS qbucket)
+              FROM embeddings)
             SELECT vec_id,
                    round(list_dot_product(embedding::DOUBLE[], {_qvec_sql()})
                          / (sqrt(list_dot_product(embedding::DOUBLE[],
                                                   embedding::DOUBLE[]))
                             * sqrt(list_dot_product({_qvec_sql()}, {_qvec_sql()}))),
                          6) AS cosine
-            FROM bucketed, qb WHERE bucket = qbucket
+            FROM bucketed
+            WHERE bucket IN ({_probe_list_sql()})
             ORDER BY cosine DESC, vec_id LIMIT {QUERY_K}
         """,
         "embedding_neardup": f"""
             WITH b AS (
               SELECT vec_id, embedding,
-                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket
-              FROM embeddings)
-            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-                   round(list_dot_product(a.embedding::DOUBLE[],
+                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket0,
+                     {_planes_sql("embedding::DOUBLE[]", PLANES_T1)} AS bucket1
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                     round(list_dot_product(a.embedding::DOUBLE[],
                                           c.embedding::DOUBLE[])
                          / (sqrt(list_dot_product(a.embedding::DOUBLE[],
                                                   a.embedding::DOUBLE[]))
                             * sqrt(list_dot_product(c.embedding::DOUBLE[],
                                                     c.embedding::DOUBLE[]))),
                          6) AS cosine
-            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-            WHERE round(list_dot_product(a.embedding::DOUBLE[],
-                                         c.embedding::DOUBLE[])
-                        / (sqrt(list_dot_product(a.embedding::DOUBLE[],
-                                                 a.embedding::DOUBLE[]))
-                           * sqrt(list_dot_product(c.embedding::DOUBLE[],
-                                                   c.embedding::DOUBLE[]))),
-                        6) >= 0.3
+              FROM b a JOIN b c ON a.bucket0 = c.bucket0 AND a.vec_id < c.vec_id
+              UNION
+              SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                     round(list_dot_product(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                    c.embedding::DOUBLE[]))),
+                         6) AS cosine
+              FROM b a JOIN b c ON a.bucket1 = c.bucket1 AND a.vec_id < c.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'blob' AS kind,

@@ -89,6 +89,14 @@ def main() -> None:
                 break
         eps, res, dt = max(segments, key=lambda s: s[0])
         steady_events = res["events_applied"]
+        # median alongside best: best-of is the steal-robust headline,
+        # median is the number that survives scrutiny (they converge on a
+        # quiet machine; a large gap flags a perturbed run)
+        rates = sorted(s[0] for s in segments)
+        mid = len(rates) // 2
+        eps_median = (
+            rates[mid] if len(rates) % 2 else (rates[mid - 1] + rates[mid]) / 2
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -96,6 +104,8 @@ def main() -> None:
         "metric": "cdc_replay_events_per_sec",
         "value": round(eps, 1),
         "unit": "events/sec",
+        "value_median": round(eps_median, 1),
+        "segments": [round(s[0], 1) for s in segments],
         "queries": qtimes,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "replay_events_total": n_events,

@@ -55,7 +55,16 @@ def word_shingles(
     aggregation is duplicate-insensitive (MinHash: min) pass
     ``distinct=False`` and skip even the array scan.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Materialize the token array in its OWN projection: the shingle
+    # lambda below captures it, and a captured *expression* (vs. an
+    # attribute) is re-evaluated per lambda invocation — i.e. the text
+    # would be re-split once per shingle, O(words × text_len) per doc.
+    # As a multiply-referenced non-cheap column it survives
+    # CollapseProject, so each element_at reads the split array.
+    tok = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
+    )
+    words = F.col("__w")
     # guard: sequence(1, 0) would be DESCENDING in Spark; short docs get []
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
@@ -68,7 +77,7 @@ def word_shingles(
     )
     if distinct:
         shingle = F.array_distinct(shingle)
-    return docs.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return tok.select(F.col(id_col), F.explode(shingle).alias("shingle"))
 
 
 def minhash_signatures(

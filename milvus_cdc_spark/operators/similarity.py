@@ -104,28 +104,102 @@ def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def auto_planes(n_vectors: int, target_bucket_rows: int = 100_000) -> int:
+    """Plane count that keeps the EXPECTED bucket population near
+    ``target_bucket_rows`` — the bucket≈file-size rule. SRP buckets split
+    the corpus ~2× per plane, so n_planes = ceil(log2(N / target)).
+    Defaults target ~100k vectors/bucket (≈ tens of MB of float32 at
+    typical dims — one comfortably scannable parquet file). At 10^10
+    vectors this yields 17 planes (~131k buckets); the 4-plane toy
+    setting would leave each bucket at O(N/16) — quadratic death for the
+    self-join near-dup."""
+    n = max(1, math.ceil(math.log2(max(n_vectors, 1) / target_bucket_rows)))
+    return max(1, n)
+
+
+def probe_buckets(query_vec: list[float], planes: list[list[float]], hamming: int = 1) -> list[int]:
+    """The query's SRP bucket plus all buckets within the given Hamming
+    distance (multi-probe LSH): near neighbors that fall on the wrong
+    side of one hyperplane land in a 1-bit-flipped bucket, so probing
+    Hamming-1 neighbors recovers most of the recall lost to a higher
+    plane count at the cost of (1 + n_planes)/2^n_planes of the corpus."""
+    qbucket = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qbucket += 2**j
+    out = {qbucket}
+    if hamming >= 1:
+        for j in range(len(planes)):
+            out.add(qbucket ^ (2**j))
+    if hamming >= 2:
+        for j in range(len(planes)):
+            for i in range(j + 1, len(planes)):
+                out.add(qbucket ^ (2**j) ^ (2**i))
+    return sorted(out)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 8,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's SRP bucket (+ optionally
-    neighbors). At 100 TB this is the coarse-quantization step that turns
-    a full scan into a 1/2^n_planes partition-pruned scan; store the
-    table partitioned by bucket to get file-level pruning."""
+    """Approximate top-k: scan only the query's SRP bucket and its
+    Hamming-``probe_hamming`` neighbors (multi-probe LSH). At 100 TB this
+    is the coarse-quantization step that turns a full scan into a
+    (1+n)/2^n partition-pruned scan; pair with :func:`write_bucketed` so
+    the probe prunes FILES, not just rows (see
+    :func:`ann_lsh_topk_bucketed`). Size ``n_planes`` with
+    :func:`auto_planes` — it must grow with the corpus."""
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
-    qbucket = 0
-    for j, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) > 0:
-            qbucket += 2**j
+    probes = probe_buckets(query_vec, planes, hamming=probe_hamming)
     bucketed = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("__bucket") == qbucket).drop("__bucket")
+    cand = bucketed.filter(F.col("__bucket").isin(probes)).drop("__bucket")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus hive-partitioned by SRP bucket — the
+    physical layout that makes a probe prune at FILE level (the parquet
+    reader never opens non-probed bucket dirs). One shuffle, run once
+    per (corpus, plane-set)."""
+    n = 2 ** int(math.log2(max(2, len(planes) * 2)))  # ≈ bucket count
+    (
+        embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+        .repartition(min(n, 256), F.col("__bucket"))
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Top-k over a :func:`write_bucketed` layout: the probe-bucket filter
+    is a PARTITION filter — Spark lists only the probed ``__bucket=``
+    dirs, so I/O is (1+n_planes)/2^n_planes of the corpus, not a full
+    scan with post-filter."""
+    probes = probe_buckets(query_vec, planes, hamming=probe_hamming)
+    df = spark.read.parquet(path).filter(F.col("__bucket").isin(probes))
+    return cosine_topk(df.drop("__bucket"), query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def pairwise_cosine_neardup(
@@ -133,27 +207,47 @@ def pairwise_cosine_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: SRP-bucketed self-join (scale path
-    — only same-bucket pairs are scored), cosine ≥ threshold."""
+    """Embedding near-duplicate pairs: SRP-bucketed self-join — only
+    same-bucket pairs are scored, never all-pairs. ``n_planes`` must grow
+    with the corpus (:func:`auto_planes`): each bucket's join is
+    O((N/2^n)²). The recall lost to finer buckets is recovered with
+    ``n_tables`` independent plane sets (classic multi-table LSH): a pair
+    split by one table's hyperplane is usually intact in another; the
+    union of per-table candidates is deduped before emit."""
     dim_row = embeddings.select(F.size(vec_col)).first()
-    planes = make_planes(dim_row[0], n_planes, seed)
-    b = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
-    )
-    return (
-        left.join(right, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+    dim = dim_row[0]
+
+    def one_table(t: int) -> DataFrame:
+        planes = make_planes(dim, n_planes, seed + t)
+        b = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+        left = b.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+        right = b.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+        )
+        return (
+            left.join(right, "__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                    6,
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    out = one_table(0)
+    for t in range(1, n_tables):
+        out = out.unionByName(one_table(t))
+    # rounded cosine is deterministic, so (id_a, id_b, cosine) dedups
+    # pairs found by several tables
+    return out.distinct() if n_tables > 1 else out

@@ -128,27 +128,35 @@ def doc_fingerprint(
     ROWS BETWEEN CURRENT ROW AND k FOLLOWING frame. The shingle hash is
     the md5 hex string itself (lexicographic min), engine-portable.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.when(
-        F.size(words) >= shingle_n,
-        F.sequence(F.lit(1), F.size(words) - (shingle_n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
+    raw_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Docs too short to shingle emitted no rows under the old explode
+    # path. Filter HERE, on the raw text: a later filter on the computed
+    # wmins array gets predicate-pushed below the projections, where it
+    # re-expands the whole shingle→md5→window-min tree inline — measured
+    # as an 8× blowup (the filter copy is evaluated per lambda element).
+    # Each intermediate array (words, hashes) is then materialized in its
+    # OWN projection: lambdas below capture them, and a captured
+    # *expression* (vs. an attribute) re-evaluates per lambda element —
+    # O(n²) md5s / re-splits per doc. Multiply-referenced non-cheap
+    # columns survive CollapseProject, so lambdas read computed arrays.
+    tok = docs.filter(F.size(raw_words) >= shingle_n).select(
+        F.col(id_col), raw_words.alias("__w")
+    )
+    words = F.col("__w")
+    idx = F.sequence(F.lit(1), F.size(words) - (shingle_n - 1))
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(shingle_n)])
     )
-    hashes = F.transform(shingle, lambda s: F.md5(s))
-    # positions are 1-based for slice(); guard sequence(1, 0) descending
-    pos = F.when(
-        F.size(hashes) >= 1, F.sequence(F.lit(1), F.size(hashes))
-    ).otherwise(F.array().cast("array<int>"))
-    wmins = F.transform(pos, lambda i: F.array_min(F.slice(hashes, i, window)))
-    return (
-        docs.select(F.col(id_col), wmins.alias("wmins"))
-        # docs with no shingles emitted no rows under the old explode path
-        .filter(F.size("wmins") >= 1)
-        .select(
-            F.col(id_col),
-            F.size(F.array_distinct("wmins")).cast("long").alias("n_fingerprints"),
-            F.array_min("wmins").alias("min_fingerprint"),
-        )
+    hashed = tok.select(
+        F.col(id_col), F.transform(shingle, lambda s: F.md5(s)).alias("__h")
+    )
+    h = F.col("__h")
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size(h)),  # 1-based positions for slice()
+        lambda i: F.array_min(F.slice(h, i, window)),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.size(F.array_distinct(wmins)).cast("long").alias("n_fingerprints"),
+        F.array_min(wmins).alias("min_fingerprint"),
     )

@@ -40,7 +40,7 @@ from milvus_cdc_spark.operators.dedup import lww_dedup
 from milvus_cdc_spark.operators.filters import scope_filter, supported_dml
 from milvus_cdc_spark.operators.salting import salted_repartition
 from milvus_cdc_spark.plans.metastore import Metastore
-from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
+from milvus_cdc_spark.sources.event_log import BARRIER_TYPES, EVENT_SCHEMA
 from milvus_cdc_spark.sources.icebox import IceboxTable
 
 # FIXTURES.md §3 — the target table's base schema.
@@ -73,6 +73,11 @@ class ReplicateJob:
     salt_factor: int = 0  # 0 = rely on AQE only; >0 = explicit hot-repo salting
     repo_pattern: str | None = None
     exclude_repos: list[str] | None = None
+    # source→target repo rename applied on the way through (the analog of
+    # the reference's db/collection name mapping,
+    # core/writer/channel_writer.go:1208-1232). Scope filters match the
+    # SOURCE name; the sink keys on the TARGET name.
+    name_map: dict[str, str] | None = None
     normalize: bool = False
     collect_metrics: bool = True
     log_max_seq: int | None = None  # for lag computation
@@ -146,7 +151,7 @@ class ReplicateJob:
         parquet reader touches two small columns; the generator evaluates
         two expressions)."""
         events = self.source(self.spark, lo, hi)
-        is_ddl = F.col("event_type").isin(*DDL_TYPES)
+        is_ddl = F.col("event_type").isin(*BARRIER_TYPES)
         return sorted(
             r[0]
             for r in events.filter(is_ddl).select("event_seq").distinct().collect()
@@ -191,7 +196,7 @@ class ReplicateJob:
 
         applied_hi = data_hi
         if ddl is not None:
-            self._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id)
+            self._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id, event_seq=min_ddl)
             applied_hi = min_ddl
             self.metastore.save_checkpoint(
                 self.task_id, batch_id, {}, global_offset=applied_hi
@@ -325,6 +330,16 @@ class ReplicateJob:
         The dedup shuffle is pinned to num_buckets partitions on the merge
         key, so its output is ALREADY bucket-aligned — the merge write
         adds no second exchange (single-shuffle hot path)."""
+        if self.name_map:
+            # literal-map projection: zero shuffle, zero join — right for
+            # the small rename dims this mirrors (a broadcast-join dim is
+            # the swap-in if a deployment ever carries >10^4 renames)
+            mapping = F.create_map(
+                *[F.lit(x) for kv in self.name_map.items() for x in kv]
+            )
+            dml = dml.withColumn(
+                "repo", F.coalesce(mapping[F.col("repo")], F.col("repo"))
+            )
         deduped = lww_dedup(dml, KEY_COLS, num_partitions=self.num_buckets)
         content = F.col("content")
         if self.normalize:
@@ -346,10 +361,15 @@ class ReplicateJob:
 
     # -------------------------------------------------------------- DDL
     def _apply_ddl(
-        self, event_type: str, schema_change: str | None, batch_id: int = 0
+        self,
+        event_type: str,
+        schema_change: str | None,
+        batch_id: int = 0,
+        event_seq: int = 0,
     ) -> None:
-        """Apply one schema event. All operations are idempotent-by-check,
-        mirroring the reference's describe-before-create DDL handlers
+        """Apply one barrier event (schema DDL or bulk import). All
+        operations are idempotent-by-check, mirroring the reference's
+        describe-before-create DDL handlers
         (``core/writer/milvus_handler.go:114-593``)."""
         table = self.table()
         payload = json.loads(schema_change) if schema_change else {}
@@ -365,8 +385,52 @@ class ReplicateJob:
         elif event_type == "drop_table":
             table.drop()
             self.metastore.save_checkpoint(self.task_id, batch_id, {}, dropped=True)
+        elif event_type == "import":
+            self._apply_import(payload, batch_id, event_seq)
         else:
             raise ValueError(f"unknown DDL event {event_type}")
+
+    def _apply_import(
+        self, payload: dict, batch_id: int, event_seq: int
+    ) -> None:
+        """Bulk load — the Import msg type
+        (``core/reader/replicate_channel_manager.go:1447,1699,1899``):
+        ``schema_change`` carries ``{"op": "import", "path": <parquet>,
+        "mode": "append"|"overwrite"}``. The file set flows through the
+        SAME dedup → sha256 pipeline as DML, stamped with the import
+        event's seq, so later DML (higher seq) wins over imported rows
+        and a replayed import is a structural no-op under MoR seq
+        resolution. ``overwrite`` bootstraps the table wholesale (INSERT
+        OVERWRITE); ``append`` merges (upsert semantics).
+        """
+        table = self.table()
+        src = self.spark.read.parquet(payload["path"])
+        shaped = src.select(
+            *[
+                (F.col(c) if c in src.columns else F.lit(None).cast("string")).alias(c)
+                for c in _PAYLOAD_COLS
+            ],
+            F.lit(event_seq).cast("long").alias("event_seq"),
+            F.lit("insert").alias("event_type"),
+        )
+        changes = self._build_changes(
+            scope_filter(shaped, self.repo_pattern, self.exclude_repos)
+        )
+        props = {
+            "task_id": self.task_id,
+            "batch_id": batch_id,
+            "offset_start": event_seq,
+            "offset_end": event_seq,
+        }
+        if payload.get("mode", "append") == "overwrite":
+            table.overwrite(changes.drop("__deleted"), properties=props)
+        else:
+            table.merge(
+                changes,
+                compact_threshold=self.compact_threshold,
+                changes_partitioned=True,
+                properties=props,
+            )
 
 def parquet_source(log_path: str) -> Callable[[SparkSession, int, int], DataFrame]:
     """Event source over a materialized parquet log — range predicate is

@@ -43,8 +43,17 @@ class TaskManager:
         log_path: str,
         table_root: str,
         repo_pattern: str = "*",
+        start_seq: int | None = None,
+        start_positions: dict[int, int] | None = None,
         **job_kwargs: Any,
     ) -> dict[str, Any]:
+        """Create a task. ``start_seq`` / ``start_positions`` seed the
+        checkpoint BEFORE the first run — the analog of the reference
+        decoding user-supplied per-vchannel positions at task create and
+        persisting them before starting (``server/cdc_impl.go:480-539``).
+        A user attaching CDC to an already-bootstrapped table starts from
+        its known offset instead of replaying from seq 0.
+        """
         if self.meta.load_task(task_id) is not None:
             raise DuplicateTaskError(f"task {task_id} exists")
         for t in self.meta.list_tasks():
@@ -63,8 +72,20 @@ class TaskManager:
             "repo_pattern": repo_pattern,
             "state": STATE_INITIAL,
             "reason": None,
+            "start_seq": start_seq,
             "job_kwargs": job_kwargs,
         }
+        if start_seq is not None or start_positions:
+            offset = (
+                start_seq
+                if start_seq is not None
+                else max(int(v) for v in start_positions.values())
+            )
+            # persist the seed position BEFORE the task can run, so a
+            # crash between create and first run still resumes from it
+            self.meta.save_checkpoint(
+                task_id, -1, start_positions or {}, global_offset=offset
+            )
         self.meta.save_task(task)
         return task
 

@@ -44,6 +44,11 @@ EVENT_SCHEMA = T.StructType(
 
 DML_TYPES = ("insert", "update", "delete")
 DDL_TYPES = ("create_table", "add_column", "type_widen", "drop_table")
+# Barrier events are applied in their own commit, in seq order, between
+# DML sub-ranges: schema DDL plus bulk "import" (the analog of Milvus's
+# Import msg type, reference replicate_channel_manager.go:1447,1699 —
+# the first event a user attaching CDC to an existing corpus replays).
+BARRIER_TYPES = DDL_TYPES + ("import",)
 
 _LANGS = ["py", "go", "java", "md", "rs", "c", "ts"]
 

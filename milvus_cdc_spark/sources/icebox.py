@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -145,7 +146,7 @@ class IceboxTable:
             seq_col=seq_col,
             write_mode=write_mode,
         )
-        _write_snapshot(root, snap)
+        _write_snapshot_exclusive(root, snap, expect=None)
         _swap_pointer(root, 0, expect=None)
         return cls(spark, root)
 
@@ -346,24 +347,48 @@ class IceboxTable:
             staged = _list_bucket_files(staging)
             if not staged:
                 return snap.snapshot_id  # empty batch → no new snapshot
-            new_buckets = {b: list(fs) for b, fs in snap.buckets.items()}
-            for b, p in staged:
-                new_buckets.setdefault(str(b), []).append(
-                    {"path": p, "schema_version": snap.current_schema_version,
-                     "kind": "delta"}
+            staged_version = snap.current_schema_version
+
+            def build(cur: Snapshot) -> Snapshot | None:
+                # Rebuild against the CURRENT snapshot: staged delta files
+                # are parent-independent, so a lost commit race re-attaches
+                # them to the winner's buckets instead of clobbering it.
+                nb = {b: list(fs) for b, fs in cur.buckets.items()}
+                for b, p in staged:
+                    nb.setdefault(str(b), []).append(
+                        {"path": p, "schema_version": staged_version,
+                         "kind": "delta"}
+                    )
+                nb = self._compact_buckets(
+                    cur, nb, cur.snapshot_id + 1, compact_threshold
                 )
-            new_buckets = self._compact_buckets(
-                snap, new_buckets, new_id, compact_threshold
-            )
+                return self._child_snapshot(cur, nb, properties)
+
+            return self._commit_retrying(build)
         else:
-            # Affected-bucket discovery: tiny driver-side list (≤
-            # num_buckets ints) — the pruning step that makes CoW merges
-            # O(touched data).
-            affected = sorted(
-                r[0] for r in changes.select(_BUCKET_COL).distinct().collect()
-            )
-            if not affected:
+            # Stage the changes ONCE, partitioned by bucket: the staged
+            # dirs reveal the affected buckets (the pruning step that
+            # makes CoW merges O(touched data)) AND the winner resolution
+            # below re-reads the cheap staged parquet — the expensive
+            # upstream pipeline (dedup + Arrow UDFs) executes exactly one
+            # time instead of once for discovery and again for the write.
+            chg_staging = staging + "-chg"
+            changes.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
+                F.col(delete_col).cast("boolean").alias(delete_col),
+                F.col(_BUCKET_COL),
+            ).write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(chg_staging)
+            staged_chg = _list_bucket_files(chg_staging)
+            if not staged_chg:
                 return snap.snapshot_id
+            affected = sorted({b for b, _ in staged_chg})
+            chg_schema = T.StructType(
+                target_schema.fields
+                + [T.StructField(delete_col, T.BooleanType(), False)]
+            )
+            staged_changes = self.spark.read.schema(chg_schema).parquet(
+                *[p for _, p in staged_chg]
+            )
             old = self.read_buckets(snap, affected)
             data_cols = [f.name for f in target_schema.fields]
             tagged_old = old.select(
@@ -371,11 +396,7 @@ class IceboxTable:
                 F.lit(False).alias(delete_col),
                 F.lit(0).alias("__src"),
             )
-            tagged_new = changes.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
-                F.col(delete_col),
-                F.lit(1).alias("__src"),
-            )
+            tagged_new = staged_changes.withColumn("__src", F.lit(1))
             both = tagged_old.unionByName(tagged_new)
             payload_cols = [c for c in data_cols if c not in keys] + [delete_col]
             payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
@@ -400,33 +421,89 @@ class IceboxTable:
                 .mode("overwrite")
                 .parquet(staging)
             )
-            new_buckets = dict(snap.buckets)
-            for b in affected:
-                new_buckets[str(b)] = []
-            for b, p in _list_bucket_files(staging):
-                new_buckets.setdefault(str(b), []).append(
-                    {"path": p, "schema_version": snap.current_schema_version,
-                     "kind": "base"}
-                )
-            for b in affected:  # bucket emptied entirely by deletes
-                if not new_buckets[str(b)]:
-                    del new_buckets[str(b)]
+            staged_cow = _list_bucket_files(staging)
+            staged_version = snap.current_schema_version
+            base_view = {str(b): snap.buckets.get(str(b)) for b in affected}
 
-        new_snap = Snapshot(
-            snapshot_id=new_id,
-            parent_id=snap.snapshot_id,
-            schema_versions=snap.schema_versions,
-            current_schema_version=snap.current_schema_version,
-            buckets=new_buckets,
-            num_buckets=snap.num_buckets,
-            key_cols=keys,
-            properties={**snap.properties, **(properties or {})},
+            def build(cur: Snapshot) -> Snapshot | None:
+                # CoW rewrote the affected buckets against a point-in-time
+                # read; a concurrent commit that touched ANY of them makes
+                # the rewrite stale — refuse the rebuild (None → the
+                # conflict propagates). Commits to other buckets are safe
+                # to rebase over.
+                for b in affected:
+                    if cur.buckets.get(str(b)) != base_view[str(b)]:
+                        return None
+                nb = dict(cur.buckets)
+                for b in affected:
+                    nb[str(b)] = []
+                for b, p in staged_cow:
+                    nb.setdefault(str(b), []).append(
+                        {"path": p, "schema_version": staged_version,
+                         "kind": "base"}
+                    )
+                for b in affected:  # bucket emptied entirely by deletes
+                    if not nb[str(b)]:
+                        del nb[str(b)]
+                return self._child_snapshot(cur, nb, properties)
+
+            return self._commit_retrying(build)
+
+    def _child_snapshot(
+        self,
+        cur: Snapshot,
+        buckets: dict[str, list[dict[str, Any]]],
+        properties: dict[str, Any] | None,
+    ) -> Snapshot:
+        return Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent_id=cur.snapshot_id,
+            schema_versions=cur.schema_versions,
+            current_schema_version=cur.current_schema_version,
+            buckets=buckets,
+            num_buckets=cur.num_buckets,
+            key_cols=cur.key_cols,
+            properties={**cur.properties, **(properties or {})},
             committed_ts=time.time(),
-            seq_col=snap.seq_col,
-            write_mode=snap.write_mode,
+            seq_col=cur.seq_col,
+            write_mode=cur.write_mode,
         )
-        self._commit(new_snap)
-        return new_id
+
+    def _commit_retrying(
+        self,
+        build,
+        attempts: int = 5,
+        backoff: float = 0.05,
+    ) -> int:
+        """Optimistic-concurrency commit loop — the analog of the
+        reference wrapping every external call in ``retry.Do``
+        (``core/writer/milvus_handler.go:83-112``).
+
+        ``build(current_snapshot)`` returns the child snapshot to commit,
+        or None when rebasing over the winner is impossible (CoW whose
+        affected buckets were concurrently modified). On
+        ``CommitConflictError`` the table is refreshed to the winner and
+        the commit REBUILT against it — never blindly re-swapped, which
+        would clobber the concurrent writer's buckets — with exponential
+        backoff between attempts.
+        """
+        last: CommitConflictError | None = None
+        for attempt in range(attempts):
+            new_snap = build(self.snap)
+            if new_snap is None:
+                raise last or CommitConflictError(
+                    "concurrent commit touched the rewritten buckets"
+                )
+            try:
+                self._commit(new_snap)
+                return new_snap.snapshot_id
+            except CommitConflictError as e:
+                last = e
+                if attempt == attempts - 1:
+                    raise
+                time.sleep(backoff * (2 ** attempt))
+                self.refresh()
+        raise last  # unreachable; satisfies the type checker
 
     def _compact_buckets(
         self,
@@ -595,21 +672,11 @@ class IceboxTable:
             buckets.setdefault(str(b), []).append(
                 {"path": p, "schema_version": snap.current_schema_version, "kind": "base"}
             )
-        new_snap = Snapshot(
-            snapshot_id=new_id,
-            parent_id=snap.snapshot_id,
-            schema_versions=snap.schema_versions,
-            current_schema_version=snap.current_schema_version,
-            buckets=buckets,
-            num_buckets=snap.num_buckets,
-            key_cols=keys,
-            properties={**snap.properties, **(properties or {})},
-            committed_ts=time.time(),
-            seq_col=snap.seq_col,
-            write_mode=snap.write_mode,
+        # INSERT OVERWRITE replaces the table wholesale, so rebasing over
+        # a concurrent commit is trivially safe: the staged buckets win.
+        return self._commit_retrying(
+            lambda cur: self._child_snapshot(cur, buckets, properties)
         )
-        self._commit(new_snap)
-        return new_id
 
     # -------------------------------------------------- schema evolution
     def add_column(self, name: str, dtype: str, if_not_exists: bool = True) -> int:
@@ -672,20 +739,58 @@ class IceboxTable:
 
     # ------------------------------------------------------------ commit
     def _commit(self, new_snap: Snapshot) -> None:
-        expect = self.snap.snapshot_id if self.snap else None
-        _write_snapshot(self.root, new_snap)
-        _swap_pointer(self.root, new_snap.snapshot_id, expect=expect)
+        """Two-phase optimistic commit. The snapshot-id namespace is the
+        lock: ``v{id}.json`` is created EXCLUSIVELY (os.link, atomic on
+        POSIX), so a losing writer can never clobber the winner's
+        already-committed snapshot file — it gets CommitConflictError
+        before touching anything the pointer can reach. A per-table
+        in-process mutex serializes handles/threads of one driver (the
+        only concurrent-writer topology this driver-side format supports;
+        cross-process coordination is a catalog's job, as in Iceberg).
+        """
+        with _commit_lock(self.root):
+            expect = self.snap.snapshot_id if self.snap else None
+            _write_snapshot_exclusive(self.root, new_snap, expect)
+            _swap_pointer(self.root, new_snap.snapshot_id, expect=expect)
         self.snap = new_snap
 
 
 # ---------------------------------------------------------------- helpers
 
-def _write_snapshot(root: str, snap: Snapshot) -> None:
+_COMMIT_LOCKS: dict[str, threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(root: str) -> threading.Lock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(os.path.abspath(root), threading.Lock())
+
+
+def _write_snapshot_exclusive(root: str, snap: Snapshot, expect: int | None) -> None:
     p = os.path.join(root, "snapshots", f"v{snap.snapshot_id}.json")
     tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(snap.__dict__, f)
-    os.replace(tmp, p)
+    try:
+        os.link(tmp, p)  # atomic create-if-absent
+    except FileExistsError:
+        # A v{id}.json already exists. If the pointer still reads
+        # `expect`, nobody committed it — it is an orphan of a writer
+        # that crashed between snapshot write and pointer swap (the
+        # in-process lock rules out a live racer) — safe to replace.
+        # Otherwise a concurrent writer won the id: conflict.
+        cur = os.path.join(root, "_current")
+        with open(cur) as f:
+            actual = json.load(f)["snapshot_id"]
+        if expect is not None and actual != expect:
+            os.unlink(tmp)
+            raise CommitConflictError(
+                f"snapshot v{snap.snapshot_id} already committed "
+                f"(pointer at {actual}, expected {expect})"
+            )
+        os.replace(tmp, p)
+        return
+    os.unlink(tmp)
 
 
 def _read_snapshot(root: str, sid: int) -> Snapshot | None:

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from milvus_cdc_spark.operators.filters import scope_filter
 from milvus_cdc_spark.plans.apply import ReplicateJob
-from milvus_cdc_spark.sources.event_log import DDL_TYPES, EVENT_SCHEMA
+from milvus_cdc_spark.sources.event_log import BARRIER_TYPES, EVENT_SCHEMA
 
 
 class StreamingReplicator:
@@ -71,7 +71,7 @@ class StreamingReplicator:
             return
 
         ddl_rows = (
-            batch_df.filter(F.col("event_type").isin(*DDL_TYPES))
+            batch_df.filter(F.col("event_type").isin(*BARRIER_TYPES))
             .select("event_seq", "event_type", "schema_change")
             .orderBy("event_seq")
             .collect()
@@ -95,7 +95,7 @@ class StreamingReplicator:
             # applied before the crash — re-apply, idempotent-by-check
             if 0 <= last_seg < len(ddl_rows):
                 d = ddl_rows[last_seg]
-                job._apply_ddl(d["event_type"], d["schema_change"])
+                job._apply_ddl(d["event_type"], d["schema_change"], event_seq=int(d["event_seq"]))
 
         batch_id = int(ckpt["batch_id"])
         for i, (seg_lo, seg_hi) in enumerate(segments):
@@ -109,7 +109,7 @@ class StreamingReplicator:
                 df = df.filter(F.col("event_seq") < seg_hi)
             # scope filtering is DML-only (DDL is table-level)
             dml = scope_filter(
-                df.filter(~F.col("event_type").isin(*DDL_TYPES)),
+                df.filter(~F.col("event_type").isin(*BARRIER_TYPES)),
                 job.repo_pattern,
                 job.exclude_repos,
             )
@@ -139,7 +139,7 @@ class StreamingReplicator:
                     global_offset = max(positions.values())
             if seg_hi is not None:
                 ddl = ddl_rows[i]
-                job._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id)
+                job._apply_ddl(ddl["event_type"], ddl["schema_change"], batch_id, event_seq=int(seg_hi))
                 global_offset = int(seg_hi)
             job.metastore.save_checkpoint(
                 job.task_id, batch_id, positions, global_offset=global_offset

@@ -89,13 +89,63 @@ def test_widen_column_upcasts_old_files(spark, tmp_base):
         t.widen_column("repo", "int")
 
 
-def test_commit_conflict_detected(spark, tmp_base):
+def _bucket_of(spark, repo, path, n):
+    from milvus_cdc_spark.functions import bucket_expr
+
+    return spark.createDataFrame([(repo, path)], "repo string, path string").select(
+        bucket_expr(["repo", "path"], n)
+    ).collect()[0][0]
+
+
+def test_commit_conflict_cow_same_bucket_raises(spark, tmp_base):
+    """CoW rewrote a bucket from a point-in-time read; if the winner of a
+    lost commit race touched that SAME bucket, the rewrite is stale and
+    must surface the conflict (no silent clobber)."""
     root = os.path.join(tmp_base, "c")
     t1 = IceboxTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=4)
     t2 = IceboxTable(spark, root)  # second writer handle, stale after t1 commits
     t1.merge(_changes(spark, [("a", "1", 1, False)]))
     with pytest.raises(CommitConflictError):
-        t2.merge(_changes(spark, [("b", "2", 2, False)]))
+        t2.merge(_changes(spark, [("a", "1", 2, False)]))
+
+
+def test_commit_conflict_disjoint_buckets_resolved_by_retry(spark, tmp_base):
+    """A lost commit race over DIFFERENT buckets resolves by refresh +
+    rebuild instead of pausing the task (reference: retry.Do around every
+    external call)."""
+    root = os.path.join(tmp_base, "r")
+    n = 4
+    t1 = IceboxTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=n)
+    t2 = IceboxTable(spark, root)
+    b_a = _bucket_of(spark, "a", "1", n)
+    other = next(
+        (r, p)
+        for r in ("b", "c", "d", "e")
+        for p in ("2", "3", "4")
+        if _bucket_of(spark, r, p, n) != b_a
+    )
+    t1.merge(_changes(spark, [("a", "1", 1, False)]))
+    t2.merge(_changes(spark, [(other[0], other[1], 2, False)]))  # stale handle
+    t2.refresh()
+    got = {(r["repo"], r["path"]): r["v"] for r in t2.read().collect()}
+    assert got == {("a", "1"): 1, other: 2}  # both commits survive
+
+
+def test_commit_conflict_mor_resolved_by_retry(spark, tmp_base):
+    """MoR delta files are parent-independent: a stale handle's merge
+    re-attaches them to the winner's snapshot — even for the same key
+    (seq resolution orders the rows)."""
+    root = os.path.join(tmp_base, "m")
+    t1 = IceboxTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=4,
+        seq_col="v", write_mode="mor",
+    )
+    t2 = IceboxTable(spark, root)
+    t1.merge(_changes(spark, [("a", "1", 1, False), ("b", "2", 2, False)]))
+    t2.merge(_changes(spark, [("a", "1", 10, False)]))  # stale handle, same key
+    t2.refresh()
+    got = {(r["repo"], r["path"]): r["v"] for r in t2.read().collect()}
+    assert got == {("a", "1"): 10, ("b", "2"): 2}
 
 
 def test_create_if_not_exists_idempotent(spark, tmp_base):
@@ -146,3 +196,30 @@ def test_bucket_formula_single_source_of_truth():
     assert "xxhash64" not in src, "divergent bucket hash reintroduced"
     # exactly one import of the helper, used at every withColumn site
     assert src.count("F.hash(") == 0, "inline hash bucket formula"
+
+
+def test_cow_merge_executes_changes_pipeline_once(spark, tmp_base):
+    """Regression: CoW affected-bucket discovery used to .collect() the
+    changes plan and then execute it AGAIN for the write. The changes
+    pipeline (potentially dedup + Arrow UDFs) must run exactly once —
+    counted here with an accumulator inside a nondeterministic UDF."""
+    from pyspark.sql.types import LongType
+
+    t = _mk(spark, tmp_base, name="once", buckets=4)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(v):
+        acc.add(1)
+        return v
+
+    bump_udf = F.udf(bump, LongType()).asNondeterministic()
+    changes = spark.range(100).select(
+        F.concat(F.lit("r"), F.col("id") % 10).alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        bump_udf(F.col("id")).alias("v"),
+        F.lit(False).alias("__deleted"),
+    )
+    t.merge(changes)
+    assert acc.value == 100, f"changes pipeline executed {acc.value / 100}x"
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert len(got) == 100

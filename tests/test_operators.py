@@ -89,3 +89,42 @@ def test_salted_repartition_preserves_rows_and_spreads(spark):
         .select("pid").distinct().count()
     )
     assert parts > 1
+
+
+def test_ann_bucketed_layout_prunes_files(spark, tmp_base):
+    """write_bucketed + probe filter = PARTITION pruning: the scan lists
+    only the probed __bucket= dirs — I/O is (1+n)/2^n of the corpus, not
+    a full scan with post-filter."""
+    import os
+
+    from milvus_cdc_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_bucketed,
+        make_planes,
+        probe_buckets,
+        write_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planes = make_planes(dim, 6, seed=42)
+    qvec = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(dim)]
+    root = os.path.join(tmp_base, "emb_bucketed")
+    write_bucketed(emb, root, planes)
+
+    topk = ann_lsh_topk_bucketed(spark, root, qvec, planes, k=5)
+    probes = set(probe_buckets(qvec, planes, hamming=1))
+    plan = topk._jdf.queryExecution().sparkPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*IN \(([\d,]+)\)", plan)
+    assert m, plan  # the probe filter reached the scan as a PARTITION filter
+    assert {int(x) for x in m.group(1).split(",")} <= probes
+    all_buckets = {
+        int(d.split("=")[1]) for d in os.listdir(root) if d.startswith("__bucket=")
+    }
+    assert len(all_buckets) > len(probes)  # pruning is real, not vacuous
+
+    # bucketed result == in-memory LSH result (same probe semantics)
+    flat = ann_lsh_topk(emb, qvec, k=5, n_planes=6, seed=42, probe_hamming=1)
+    assert sorted(map(tuple, topk.collect())) == sorted(map(tuple, flat.collect()))

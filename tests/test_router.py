@@ -101,3 +101,47 @@ def test_router_rejects_overlapping_literal_scopes(spark, tmp_base):
         [Route("a", os.path.join(tmp_base, "ta"), r"^org0/"),
          Route("b", os.path.join(tmp_base, "tb"), r"^org[^0]/")],
     )
+
+
+def test_name_remap_replicates_into_renamed_target(spark, tmp_base):
+    """T3 second half: source→target repo rename on the way through
+    (channel_writer.go:1208-1232 analog) — full-state equality against
+    the renamed oracle, and the remap adds NO exchange (literal-map
+    projection)."""
+    from milvus_cdc_spark.plans.apply import ReplicateJob, parquet_source
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.sources.event_log import generate_events, write_event_log
+    from tests.oracle import engine_hashes, expected_hashes
+
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 2000, num_keys=300), log)
+    src_repos = [
+        r[0] for r in spark.read.parquet(log)
+        .filter("repo rlike '^org1/'").select("repo").distinct().collect()
+    ]
+    name_map = {r: "mirror/" + r.split("/", 1)[1] for r in src_repos}
+    job = ReplicateJob(
+        spark=spark,
+        source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        num_buckets=4,
+        repo_pattern=r"^org1/",
+        name_map=name_map,
+    )
+    job.run(until_seq=1999)
+    pdf = spark.read.parquet(log).filter("repo rlike '^org1/'").toPandas()
+    pdf["repo"] = pdf["repo"].map(name_map)
+    assert engine_hashes(job.table().read()) == expected_hashes(pdf)
+    got_repos = {r["repo"] for r in job.table().read().select("repo").distinct().collect()}
+    # only renamed targets appear (repos whose keys all ended deleted are absent)
+    assert got_repos and got_repos <= set(name_map.values())
+    # remap must not add a shuffle to the hot path
+    from pyspark.sql import functions as F
+
+    dml = spark.read.parquet(log).filter(
+        F.col("event_type").isin("insert", "update", "delete")
+        & F.col("repo").rlike("^org1/")
+    )
+    plan = job._build_changes(dml)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
