@@ -38,22 +38,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def word_shingles(
+def shingle_arrays(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Word n-gram shingles per doc: (id, shingle), distinct per doc by
-    default.
+    """Word n-gram shingles per doc as an ARRAY column: (id, shingles).
 
-    Split on whitespace; shingle = n consecutive words joined by one
-    space. Docs shorter than n words produce no shingles (they can only
-    be exact dups). All array ops are Catalyst built-ins.
-
-    Scale note: shingle dedup is PER-DOCUMENT, so it is done with
-    ``array_distinct`` on the shingle array *before* the explode — zero
-    shuffle. A post-explode ``.distinct()`` would exchange O(corpus
-    tokens) rows just to dedup within each doc. Consumers whose
-    aggregation is duplicate-insensitive (MinHash: min) pass
-    ``distinct=False`` and skip even the array scan.
+    Zero-shuffle building block: per-doc set operations (dedup via
+    ``array_distinct``, set size via ``size``) stay inside the row —
+    consumers only explode when they genuinely need one-row-per-shingle
+    (the equi-join in :func:`ngram_jaccard_pairs`), and never shuffle
+    just to dedup or count.
     """
     # Materialize the token array in its OWN projection: the shingle
     # lambda below captures it, and a captured *expression* (vs. an
@@ -77,7 +71,28 @@ def word_shingles(
     )
     if distinct:
         shingle = F.array_distinct(shingle)
-    return tok.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+    return tok.select(F.col(id_col), shingle.alias("shingles"))
+
+
+def word_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct per doc by
+    default.
+
+    Split on whitespace; shingle = n consecutive words joined by one
+    space. Docs shorter than n words produce no shingles (they can only
+    be exact dups). All array ops are Catalyst built-ins.
+
+    Scale note: shingle dedup is PER-DOCUMENT, so it is done with
+    ``array_distinct`` on the shingle array *before* the explode — zero
+    shuffle. A post-explode ``.distinct()`` would exchange O(corpus
+    tokens) rows just to dedup within each doc. Consumers whose
+    aggregation is duplicate-insensitive (MinHash: min) pass
+    ``distinct=False`` and skip even the array scan.
+    """
+    arrs = shingle_arrays(docs, id_col, text_col, n=n, distinct=distinct)
+    return arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
 
 
 def minhash_signatures(
@@ -160,9 +175,14 @@ def ngram_jaccard_pairs(
     ``pairs`` has (id_a, id_b). Intersection via shingle equi-join,
     union via |A|+|B|-∩. Runs only over LSH candidates — the classic
     two-stage near-dup pipeline (cheap filter, exact verify).
+
+    Set sizes come from ``size(shingles)`` on the array — a projection —
+    NOT a second explode + groupBy-count (which would shuffle O(corpus
+    shingles) rows a second time).
     """
-    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    arrs = shingle_arrays(docs, id_col, text_col, n=shingle_n)
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("n_shingles"))
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
