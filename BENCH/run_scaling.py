@@ -35,8 +35,11 @@ CONTENT_REPEAT = 16
 N_BUCKETS = 16
 
 
-REPEATS = 3  # this VM shows CPU-steal spikes (noisy neighbors); take the
-# best of N runs per level — the least-perturbed measurement.
+REPEATS = int(os.environ.get("SCALE_REPEATS", "3"))  # this VM shows
+# CPU-steal spikes (noisy neighbors); take the best of N runs per level —
+# the least-perturbed measurement. SCALE_REPEATS=1 lets a driver script
+# split the protocol into bounded single-run invocations (10-min task
+# caps) and compose best/median itself from the per-run JSONs.
 
 
 def run_level_best(cores: int, events: int, batch: int) -> dict:
@@ -70,13 +73,34 @@ def run_level(cores: int, events: int, batch: int) -> dict:
 
 
 def main() -> None:
-    events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
-    low_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    high_cores = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # `--level CORES EVENTS BATCH OUT.json` runs ONE level and exits —
+    # lets long protocols split into bounded per-level invocations;
+    # `--compose LOW.json HIGH.json` assembles the record from two such
+    # files. No args = the original single-process protocol.
+    if len(sys.argv) > 1 and sys.argv[1] == "--level":
+        cores, events, batch = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+        res = run_level_best(cores, events, batch)
+        res["cores"] = cores
+        res["events"], res["batch"] = events, batch
+        with open(sys.argv[5], "w") as f:
+            json.dump(res, f)
+        print(json.dumps(res))
+        return
 
-    low = run_level_best(low_cores, events, batch)
-    high = run_level_best(high_cores, events, batch)
+    if len(sys.argv) > 1 and sys.argv[1] == "--compose":
+        with open(sys.argv[2]) as f:
+            low = json.load(f)
+        with open(sys.argv[3]) as f:
+            high = json.load(f)
+        events, batch = low["events"], low["batch"]
+        low_cores, high_cores = low["cores"], high["cores"]
+    else:
+        events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+        low_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        high_cores = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        low = run_level_best(low_cores, events, batch)
+        high = run_level_best(high_cores, events, batch)
     ratio = high_cores / low_cores
     eff = (high["value"] / low["value"]) / ratio
     # median alongside best: best-of is steal-robust, median survives
