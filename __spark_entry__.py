@@ -34,6 +34,7 @@ from milvus_cdc_spark.operators.similarity import (
     make_planes,
     pairwise_cosine_neardup,
 )
+from milvus_cdc_spark.operators.asof import asof_join, range_join
 from milvus_cdc_spark.operators.text import (
     STOPWORDS,
     doc_fingerprint,
@@ -250,6 +251,45 @@ def olap_orders_with_big_lineitems(spark, sf_dir):
 # training-data pipeline: dedup over `documents`
 # --------------------------------------------------------------------------
 
+def q_olap_asof_join(spark, sf_dir):
+    """For each click event, the latest purchase value at-or-before it
+    per user — asof_join (tag/union/window, one shuffle, no theta-join).
+    Right side pre-aggregated per (user_id, ts) so the match is
+    deterministic (same requirement DuckDB's ASOF JOIN carries)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    j = asof_join(clicks, purchases, ["user_id"], "ts", "ts", ["pvalue"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("pvalue_asof") * 100).cast("bigint").alias("asof_cents"),
+        "asof_ts",
+    )
+
+
+def q_olap_range_join(spark, sf_dir):
+    """Clicks landing inside [purchase_ts, purchase_ts + 30 min) windows
+    per user — range_join (bin-bucketed equi-join, never a
+    BroadcastNestedLoopJoin)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    rj = range_join(clicks, wins, ["user_id"], "ts", "w_start", "w_end", bin_seconds=1800)
+    return rj.select("window_id", "click_id", "user_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -371,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap_pricing_summary,
         "olap_top_customers": olap_top_customers,
         "olap_orders_with_big_lineitems": olap_orders_with_big_lineitems,
+        "olap_asof_join": q_olap_asof_join,
+        "olap_range_join": q_olap_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_lsh_pairs": q_lsh_pairs,
@@ -588,6 +630,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        """,
+        "olap_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, max(value) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id,
+                   round(p.pvalue * 100)::BIGINT AS asof_cents,
+                   p.ts AS asof_ts
+            FROM clicks c ASOF JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "olap_range_join": """
+            SELECT p.event_id AS window_id, c.event_id AS click_id, c.user_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,

@@ -128,3 +128,74 @@ def test_ann_bucketed_layout_prunes_files(spark, tmp_base):
     # bucketed result == in-memory LSH result (same probe semantics)
     flat = ann_lsh_topk(emb, qvec, k=5, n_planes=6, seed=42, probe_hamming=1)
     assert sorted(map(tuple, topk.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    from milvus_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:10:00")),
+         (2, 10, _ts("2024-01-01 00:30:00")),
+         (3, 10, _ts("2024-01-01 00:05:00")),   # before any right row
+         (4, 20, _ts("2024-01-01 01:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:10:00"), 1.0),   # equal ts: inclusive match
+         (10, _ts("2024-01-01 00:20:00"), 2.0),
+         (20, _ts("2024-01-01 00:59:00"), 9.0)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    got = {
+        r["event_id"]: r["pvalue_asof"]
+        for r in asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"]).collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 4: 9.0}  # 3 dropped (inner, no prior row)
+    kept = asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"], how="left")
+    assert {r["event_id"]: r["pvalue_asof"] for r in kept.collect()}[3] is None
+
+
+def test_asof_join_single_shuffle_no_theta(spark):
+    """The tag/union/window shape: ONE exchange (the key window), never a
+    BroadcastNestedLoopJoin / cartesian."""
+    from milvus_cdc_spark.operators.asof import asof_join
+
+    left = spark.range(100).selectExpr(
+        "id as event_id", "id % 5 as user_id",
+        "timestamp_seconds(1700000000 + id * 60) as ts",
+    )
+    right = spark.range(20).selectExpr(
+        "id % 5 as user_id",
+        "timestamp_seconds(1700000000 + id * 300) as ts",
+        "cast(id as double) as pvalue",
+    )
+    plan = asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_semantics_and_plan(spark):
+    from milvus_cdc_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:00")),   # == start: included
+         (2, 10, _ts("2024-01-01 00:29:59")),   # inside
+         (3, 10, _ts("2024-01-01 00:30:00")),   # == end: excluded
+         (4, 20, _ts("2024-01-01 00:10:00"))],  # wrong key
+        "click_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:30:00"))],
+        "window_id long, user_id long, w_start timestamp, w_end timestamp",
+    )
+    rj = range_join(left, right, ["user_id"], "ts", "w_start", "w_end", bin_seconds=600)
+    assert sorted(r["click_id"] for r in rj.collect()) == [1, 2]
+    plan = rj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
