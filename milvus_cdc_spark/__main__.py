@@ -36,6 +36,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=100_000)
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--repo-pattern", default="*")
+    p.add_argument("--start-seq", type=int, default=None,
+                   help="create: seed the checkpoint at this seq (user start position)")
     p.add_argument("--master", default=None)
     a = p.parse_args(argv)
 
@@ -52,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         out = tm().create(
             a.task, a.log, a.table,
             repo_pattern=a.repo_pattern,
+            start_seq=a.start_seq,
             batch_size=a.batch_size, num_buckets=a.num_buckets,
         )
     elif a.verb == "run":
