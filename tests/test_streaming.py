@@ -184,3 +184,36 @@ def test_streaming_crash_mid_epoch_resumes_segments(spark, tmp_base):
     assert len(table.snapshots()) > committed_snaps
     assert any(c.startswith("extra_") for c in table.schema.fieldNames())
     assert engine_hashes(table.read()) == expected_hashes(batch_df.toPandas())
+
+
+def test_streaming_import_event_in_epoch(spark, tmp_base):
+    """An import barrier event inside a stream epoch bootstraps the bulk
+    file between DML sub-ranges, same ordering contract as DDL."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.sources.event_log import EVENT_SCHEMA
+
+    bulk_path = os.path.join(tmp_base, "bulk")
+    spark.range(30).select(
+        F.concat(F.lit("org9/repo"), F.col("id") % 5).alias("repo"),
+        F.concat(F.lit("f"), F.col("id"), F.lit(".py")).alias("path"),
+        F.md5(F.col("id").cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("bulk "), F.col("id")).alias("content"),
+    ).write.parquet(bulk_path)
+    rows = [
+        (0, 0, "insert", "org9/repo0", "f0.py", None, "py", "stale", None, None),
+        (0, 1, "import", None, None, None, None, None,
+         f'{{"op":"import","path":"{bulk_path}"}}', None),
+        (0, 2, "update", "org9/repo1", "f1.py", None, "py", "updated", None, None),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp_base, "log"))
+    rep = _mk(spark, tmp_base)
+    rep.run_until_drained()
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in rep.job.table().read().collect()}
+    assert len(got) == 30
+    assert got[("org9/repo0", "f0.py")] == "bulk 0"     # import (seq 1) beats seq 0
+    assert got[("org9/repo1", "f1.py")] == "updated"     # seq 2 beats import
