@@ -251,6 +251,31 @@ def olap_orders_with_big_lineitems(spark, sf_dir):
 # training-data pipeline: dedup over `documents`
 # --------------------------------------------------------------------------
 
+def q_cdc_rollup_hourly(spark, sf_dir):
+    """Continuous aggregate maintained INCREMENTALLY (4 batches of
+    read-modify-write merges into an icebox table, additive batch fence)
+    — must equal the one-shot GROUP BY the oracle runs. The hypertable-
+    rollup analog; see plans/rollup.py."""
+    import tempfile
+
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.plans.rollup import RollupJob
+
+    events_path = f"{sf_dir}/events.parquet"
+    max_id = spark.read.parquet(events_path).agg(F.max("event_id")).collect()[0][0]
+    work = tempfile.mkdtemp(prefix="rollup_q_")
+    job = RollupJob(
+        spark=spark,
+        events_path=events_path,
+        table_root=f"{work}/tbl",
+        metastore=Metastore(f"{work}/meta"),
+        batch_size=max((int(max_id) + 1) // 4, 1),
+        num_buckets=8,
+    )
+    job.run(until_seq=int(max_id))
+    return job.table().read().select("window_start", "user_id", "n_events", "sum_cents")
+
+
 def q_olap_asof_join(spark, sf_dir):
     """For each click event, the latest purchase value at-or-before it
     per user — asof_join (tag/union/window, one shuffle, no theta-join).
@@ -411,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap_pricing_summary,
         "olap_top_customers": olap_top_customers,
         "olap_orders_with_big_lineitems": olap_orders_with_big_lineitems,
+        "cdc_rollup_hourly": q_cdc_rollup_hourly,
         "olap_asof_join": q_olap_asof_join,
         "olap_range_join": q_olap_range_join,
         "dedup_exact": q_dedup_exact,
@@ -630,6 +656,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        """,
+        "cdc_rollup_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, user_id,
+                   count(*) AS n_events,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+            FROM events GROUP BY 1, 2
         """,
         "olap_asof_join": """
             WITH clicks AS (

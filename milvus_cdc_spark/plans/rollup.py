@@ -1,0 +1,141 @@
+"""Continuous aggregate (hypertable-rollup analog): a time-bucketed
+aggregate table maintained INCREMENTALLY from the same ordered event
+log the replication path tails.
+
+The classic continuous-aggregate maintenance loop, CDC-style:
+
+    per batch (lo, hi]:
+      partials   = batch events → groupBy(time_bucket, key) partial aggs
+      affected   = the (bucket, key) rows the batch touches
+      new_totals = current values for affected keys (outer-joined) + partials
+      MERGE new_totals (LWW upsert keyed on (bucket, key), seq = batch_id)
+      checkpoint
+
+Cost per batch is O(batch + affected rows), never O(table): a day-long
+replay only ever rewrites the windows its events fall into (recent ones,
+for an ordered log). Exactly-once matters MORE here than for the replica
+table — adding a batch twice corrupts totals silently — so the additive
+step is fenced by the snapshot's ``batch_id`` property (a replayed batch
+is skipped, mirroring the apply path's fence) on top of
+checkpoint-after-commit.
+
+No reference analog (milvus-cdc replicates state; it has no derived
+aggregates) — this is the training-data-pipeline extension the engine's
+merge machinery makes ~80 lines.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.plans.metastore import Metastore
+from milvus_cdc_spark.sources.icebox import IceboxTable
+
+ROLLUP_SCHEMA = (
+    "window_start timestamp, user_id bigint, n_events bigint, "
+    "sum_cents bigint, last_batch bigint"
+)
+KEYS = ["window_start", "user_id"]
+
+
+@dataclass
+class RollupJob:
+    """Maintain an hourly (``bucket``) per-user rollup of the events
+    stream: event count + sum of cents."""
+
+    spark: SparkSession
+    events_path: str
+    table_root: str
+    metastore: Metastore
+    task_id: str = "rollup0"
+    batch_size: int = 100_000
+    num_buckets: int = 8
+    bucket: str = "1 hour"
+    _table: IceboxTable | None = field(default=None, repr=False)
+
+    def table(self) -> IceboxTable:
+        if self._table is None:
+            if not IceboxTable.exists(self.table_root):
+                IceboxTable.create(
+                    self.spark, self.table_root, ROLLUP_SCHEMA, KEYS,
+                    num_buckets=self.num_buckets,
+                    properties={"task_id": self.task_id, "batch_id": -1},
+                    seq_col="last_batch",
+                    write_mode="cow",  # totals are read-modify-write anyway
+                )
+            self._table = IceboxTable(self.spark, self.table_root)
+        return self._table
+
+    def _partials(self, lo: int, hi: int) -> DataFrame:
+        ev = self.spark.read.parquet(self.events_path).filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        )
+        return ev.groupBy(
+            F.window("ts", self.bucket).getField("start").alias("window_start"),
+            "user_id",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+
+    def apply_batch(self, batch_id: int, lo: int, hi: int) -> int:
+        table = self.table()
+        # additive fence: a batch already folded into the totals must
+        # NEVER be folded again (double-add corrupts silently)
+        if int(table.properties.get("batch_id", -1)) >= batch_id:
+            return 0
+        partials = self._partials(lo, hi)
+        current = table.read().select(
+            *KEYS,
+            F.col("n_events").alias("cur_n"),
+            F.col("sum_cents").alias("cur_sum"),
+        )
+        # current is only read for the touched keys in effect: the join
+        # is keyed on the partials side, and the CoW merge rewrites only
+        # the buckets those keys hash to
+        new_totals = (
+            partials.join(current, KEYS, "left")
+            .select(
+                *KEYS,
+                (F.col("n_events") + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_events"),
+                (F.col("sum_cents") + F.coalesce(F.col("cur_sum"), F.lit(0))).alias("sum_cents"),
+                F.lit(batch_id).cast("bigint").alias("last_batch"),
+                F.lit(False).alias("__deleted"),
+            )
+        )
+        table.merge(
+            new_totals,
+            properties={
+                "task_id": self.task_id,
+                "batch_id": batch_id,
+                "offset_end": hi,
+            },
+        )
+        rows = 1
+        self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
+        return rows
+
+    def run(self, until_seq: int, max_batches: int | None = None) -> dict:
+        ckpt = self.metastore.load_checkpoint(self.task_id)
+        lo = int(ckpt.get("global_offset", -1))
+        batch_id = int(ckpt["batch_id"]) + 1
+        # crash fence: totals committed but checkpoint write lost →
+        # fast-forward BOTH the offset and the batch numbering from the
+        # snapshot properties. Replaying the range under a NEW batch_id
+        # would slip past the additive fence and double-add — the offset
+        # fast-forward is load-bearing here, not just bookkeeping.
+        props = self.table().properties
+        if int(props.get("batch_id", -1)) >= batch_id:
+            lo = max(lo, int(props.get("offset_end", lo)))
+            batch_id = int(props["batch_id"]) + 1
+        batches = 0
+        while lo < until_seq and (max_batches is None or batches < max_batches):
+            hi = min(lo + self.batch_size, until_seq)
+            self.apply_batch(batch_id, lo, hi)
+            lo = hi
+            batch_id += 1
+            batches += 1
+        return {"batches": batches, "final_offset": lo}

@@ -1,0 +1,107 @@
+"""Continuous rollup (hypertable-rollup analog): incremental per-batch
+maintenance must equal the one-shot full aggregation, survive resume,
+and never double-add a replayed batch."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from milvus_cdc_spark.plans.metastore import Metastore
+from milvus_cdc_spark.plans.rollup import RollupJob
+
+
+def _events(spark, tmp):
+    p = os.path.join(tmp, "events")
+    spark.range(5000).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 37).alias("ts"),
+        (F.col("id") % 50).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.pmod(F.col("id") * 7, F.lit(1000)) / 100.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _expected(spark, p):
+    return {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(p)
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .collect()
+    }
+
+
+def _got(job):
+    return {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_cents"])
+        for r in job.table().read().collect()
+    }
+
+
+def _mk(spark, tmp, suffix=""):
+    return RollupJob(
+        spark=spark,
+        events_path=os.path.join(tmp, "events"),
+        table_root=os.path.join(tmp, "rollup" + suffix),
+        metastore=Metastore(os.path.join(tmp, "meta" + suffix)),
+        batch_size=1000,
+        num_buckets=4,
+    )
+
+
+def test_incremental_equals_full_aggregation(spark, tmp_base):
+    p = _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+    r = job.run(until_seq=4999)
+    assert r["batches"] == 5
+    assert _got(job) == _expected(spark, p)
+
+
+def test_rollup_resume_across_handles(spark, tmp_base):
+    p = _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+    job.run(until_seq=4999, max_batches=2)
+    job2 = _mk(spark, tmp_base)  # fresh handle = fresh process analog
+    job2.run(until_seq=4999)
+    assert _got(job2) == _expected(spark, p)
+
+
+def test_rollup_replayed_batch_never_double_adds(spark, tmp_base):
+    p = _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+    job.run(until_seq=4999)
+    snaps = job.table().snapshots()
+    # direct re-apply of an already-folded batch → additive fence no-op
+    job.apply_batch(2, 1999, 2999)
+    job.table().refresh()
+    assert job.table().snapshots() == snaps
+    assert _got(job) == _expected(spark, p)
+
+
+def test_rollup_lost_checkpoint_fast_forwards(spark, tmp_base):
+    """Totals committed but checkpoint write lost: the resume must fast-
+    forward offset AND batch numbering from snapshot properties — a
+    replay under a fresh batch_id would slip the fence and double-add."""
+    import json
+
+    p = _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+    job.run(until_seq=4999, max_batches=3)
+    # roll the checkpoint back one batch by hand (crash between commit
+    # and checkpoint)
+    ck = job.metastore._ckpt_path(job.task_id)
+    state = json.load(open(ck))
+    state["batch_id"] -= 1
+    state["global_offset"] -= job.batch_size
+    json.dump(state, open(ck, "w"))
+    job2 = _mk(spark, tmp_base)
+    job2.run(until_seq=4999)
+    assert _got(job2) == _expected(spark, p)
