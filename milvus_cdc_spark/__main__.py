@@ -26,7 +26,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
     p.add_argument("verb", choices=[
         "create", "run", "pause", "resume", "get", "position", "list",
-        "delete", "compact", "rebucket",
+        "delete", "compact", "rebucket", "expire",
     ])
     p.add_argument("--meta", help="metastore directory")
     p.add_argument("--task", help="task id")
@@ -36,6 +36,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--batch-size", type=int, default=100_000)
     p.add_argument("--num-buckets", type=int, default=32)
     p.add_argument("--repo-pattern", default="*")
+    p.add_argument("--keep-last", type=int, default=10,
+                   help="expire: number of newest snapshots to keep")
     p.add_argument("--start-seq", type=int, default=None,
                    help="create: seed the checkpoint at this seq (user start position)")
     p.add_argument("--master", default=None)
@@ -74,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     elif a.verb == "delete":
         tm().delete(a.task)
         out = {"task_id": a.task, "deleted": True}
-    elif a.verb in ("compact", "rebucket"):
+    elif a.verb in ("compact", "rebucket", "expire"):
         from milvus_cdc_spark.sources.icebox import IceboxTable
 
         if not IceboxTable.exists(a.table):
@@ -83,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
         t = IceboxTable(get_spark(master=a.master), a.table)
         if a.verb == "compact":
             out = {"table": a.table, "snapshot_id": t.compact(threshold=0)}
+        elif a.verb == "expire":
+            out = {"table": a.table, **t.expire_snapshots(keep_last=a.keep_last)}
         else:
             out = {"table": a.table, "snapshot_id": t.rebucket(a.num_buckets),
                    "num_buckets": a.num_buckets}

@@ -650,6 +650,47 @@ class IceboxTable:
         self._commit(new_snap)
         return new_id
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
+        """Maintenance GC — the Iceberg ``expire_snapshots`` analog.
+
+        Keeps the newest ``keep_last`` snapshots (always including the
+        live one), deletes older manifests, and physically removes every
+        data file no kept snapshot references. Without this, a table fed
+        10^10 events accumulates superseded base/delta files forever —
+        compaction re-links data into new files but never deletes the old
+        ones, so storage grows O(total bytes ever written), not O(live).
+        Time travel shrinks to the kept window. Driver-side file ops:
+        manifests are tiny and data-file counts are O(buckets × files
+        per bucket), never O(rows).
+        """
+        assert self.snap is not None
+        snaps = self.snapshots()
+        keep = set(snaps[-keep_last:]) | {self.snap.snapshot_id}
+        referenced: set[str] = set()
+        for sid in keep:
+            s = _read_snapshot(self.root, sid)
+            assert s is not None
+            for files in s.buckets.values():
+                for f in files:
+                    referenced.add(os.path.abspath(f["path"]))
+        removed_snaps = 0
+        for sid in snaps:
+            if sid not in keep:
+                os.remove(os.path.join(self.root, "snapshots", f"v{sid}.json"))
+                removed_snaps += 1
+        removed_files = 0
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                p = os.path.abspath(os.path.join(dirpath, fn))
+                gc_able = fn.endswith(".parquet") or fn.startswith("_SUCCESS") or fn.startswith(".")
+                if gc_able and p not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
         """Full rewrite (INSERT OVERWRITE) — used for bootstrap loads."""
         assert self.snap is not None

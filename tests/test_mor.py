@@ -147,3 +147,47 @@ def test_rebucket_preserves_state(spark, tmp_base):
     t.merge(_ch(spark, [("r1", "p", 999, 500, False)]))
     got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
     assert got[("r1", "p")] == 999 and len(got) == 40
+
+
+def test_expire_snapshots_gc(spark, tmp_base):
+    """expire_snapshots removes old manifests AND every data file no
+    kept snapshot references (superseded by compaction rewrites), while
+    the live state stays byte-identical and kept snapshots stay readable.
+    Without GC a 10^10-event table's storage grows O(ever-written)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.sources.icebox import IceboxTable
+
+    root = os.path.join(tmp_base, "gc")
+    t = IceboxTable.create(
+        spark, root, "repo string, path string, v bigint", ["repo", "path"],
+        num_buckets=4, seq_col="v", write_mode="mor",
+    )
+    for i in range(6):
+        ch = spark.range(50).select(
+            F.concat(F.lit("r"), F.col("id") % 10).alias("repo"),
+            F.col("id").cast("string").alias("path"),
+            (F.col("id") + i * 1000).alias("v"),
+            F.lit(False).alias("__deleted"),
+        )
+        t.merge(ch, compact_threshold=2)
+    before_state = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+
+    def count_parquet():
+        return sum(
+            1 for dp, _, fns in os.walk(os.path.join(root, "data"))
+            for f in fns if f.endswith(".parquet")
+        )
+
+    files_before = count_parquet()
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_snapshots"] > 0 and res["removed_files"] > 0
+    assert count_parquet() < files_before
+    # live state untouched
+    t.refresh()
+    assert {(r["repo"], r["path"]): r["v"] for r in t.read().collect()} == before_state
+    # every kept snapshot still fully readable
+    for sid in t.snapshots():
+        t.read(sid).count()
