@@ -51,3 +51,61 @@ def write_changefeed(events: DataFrame, topic_dir: str) -> None:
         .mode("append")
         .json(topic_dir)
     )
+
+
+def kafka_available(spark) -> bool:
+    """True iff the spark-sql-kafka connector jars are on the session's
+    classpath (they do not ship in this image)."""
+    try:
+        spark.read.format("kafka").option("kafka.bootstrap.servers", "x") \
+            .option("subscribe", "x").load()
+        return True
+    except Exception as e:
+        # "Failed to find data source: kafka" ⇒ jars absent; any OTHER
+        # failure (e.g. broker unreachable) means the connector exists
+        return "failed to find data source" not in str(e).lower()
+
+
+def kafka_sink_writer(events: DataFrame, bootstrap_servers: str, topic: str):
+    """The real K3 sink, identical dataflow to :func:`write_changefeed`:
+    returns a configured DataFrameWriter — ``.save()`` publishes the
+    batch. Requires the spark-sql-kafka connector on the classpath
+    (``spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    raises RuntimeError with that instruction when it is absent, so the
+    swap point is one import away, not a rewrite.
+    """
+    if not kafka_available(events.sparkSession):
+        raise RuntimeError(
+            "Kafka connector not on classpath — run via spark-submit "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "(the JSON-dir changefeed sink carries the same record shape meanwhile)"
+        )
+    return (
+        changefeed_records(events)
+        .select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+def kafka_stream_source(spark, bootstrap_servers: str, topic: str):
+    """The real S1 source: a readStream over the topic, decoded to the
+    engine's EVENT_SCHEMA (value = JSON event, as produced by
+    :func:`changefeed_records`). Same availability gate as the sink."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "Kafka connector not on classpath — use the parquet/file "
+            "stream sources in this image (see kafka_sink_writer)"
+        )
+    from milvus_cdc_spark.sources.event_log import EVENT_SCHEMA
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")

@@ -65,3 +65,23 @@ def test_cli_lifecycle(spark, tmp_base):
     assert comp["snapshot_id"] >= 1
     _cli("delete", "--meta", meta, "--task", "t1")
     assert _cli("get", "--meta", meta, "--task", "t1") is None
+
+
+def test_kafka_swap_point_gated(spark):
+    """No Kafka jars ship in this image: the real source/sink factories
+    must refuse with the exact spark-submit instruction instead of
+    failing deep inside py4j."""
+    import pytest
+
+    from milvus_cdc_spark.sources.changefeed import (
+        kafka_available,
+        kafka_sink_writer,
+        kafka_stream_source,
+    )
+    from milvus_cdc_spark.sources.event_log import generate_events
+
+    assert kafka_available(spark) is False
+    with pytest.raises(RuntimeError, match="--packages"):
+        kafka_sink_writer(generate_events(spark, 10, num_keys=5), "b:9092", "t")
+    with pytest.raises(RuntimeError, match="Kafka connector"):
+        kafka_stream_source(spark, "b:9092", "t")
