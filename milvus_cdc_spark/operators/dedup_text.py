@@ -38,23 +38,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def shingle_arrays(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
-) -> DataFrame:
-    """Word n-gram shingles per doc as an ARRAY column: (id, shingles).
+def _shingle_parts(docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool):
+    """(tokenized df, shingle-array EXPRESSION over it).
 
-    Zero-shuffle building block: per-doc set operations (dedup via
-    ``array_distinct``, set size via ``size``) stay inside the row —
-    consumers only explode when they genuinely need one-row-per-shingle
-    (the equi-join in :func:`ngram_jaccard_pairs`), and never shuffle
-    just to dedup or count.
+    The token array lives in its OWN projection: the shingle lambda
+    captures it, and a captured *expression* (vs. an attribute) is
+    re-evaluated per lambda invocation — the text would be re-split once
+    per shingle. As a multiply-referenced non-cheap column it survives
+    CollapseProject, so each element_at reads the split array.
+
+    The shingle array itself is returned as an EXPRESSION and consumers
+    must NOT stage it as a column before exploding: with an attribute
+    child, the optimizer's InferFiltersFromGenerate adds a
+    ``size(col) > 0`` filter that predicate-pushdown shoves below the
+    projection, re-expanding the whole split→transform tree inline —
+    re-evaluated per lambda element, a measured 10× regression.
+    ``explode(<expression>)`` triggers no such inference.
     """
-    # Materialize the token array in its OWN projection: the shingle
-    # lambda below captures it, and a captured *expression* (vs. an
-    # attribute) is re-evaluated per lambda invocation — i.e. the text
-    # would be re-split once per shingle, O(words × text_len) per doc.
-    # As a multiply-referenced non-cheap column it survives
-    # CollapseProject, so each element_at reads the split array.
     tok = docs.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__w")
     )
@@ -71,6 +71,19 @@ def shingle_arrays(
     )
     if distinct:
         shingle = F.array_distinct(shingle)
+    return tok, shingle
+
+
+def shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per doc as an ARRAY column: (id, shingles).
+
+    Zero-shuffle building block: per-doc set operations (dedup via
+    ``array_distinct``, set size via ``size``) stay inside the row and
+    never shuffle just to dedup or count.
+    """
+    tok, shingle = _shingle_parts(docs, id_col, text_col, n, distinct)
     return tok.select(F.col(id_col), shingle.alias("shingles"))
 
 
@@ -89,10 +102,11 @@ def word_shingles(
     shuffle. A post-explode ``.distinct()`` would exchange O(corpus
     tokens) rows just to dedup within each doc. Consumers whose
     aggregation is duplicate-insensitive (MinHash: min) pass
-    ``distinct=False`` and skip even the array scan.
+    ``distinct=False`` and skip even the array scan. The explode target
+    is an EXPRESSION on purpose — see :func:`_shingle_parts`.
     """
-    arrs = shingle_arrays(docs, id_col, text_col, n=n, distinct=distinct)
-    return arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    tok, shingle = _shingle_parts(docs, id_col, text_col, n, distinct)
+    return tok.select(F.col(id_col), F.explode(shingle).alias("shingle"))
 
 
 def minhash_signatures(
@@ -180,9 +194,10 @@ def ngram_jaccard_pairs(
     NOT a second explode + groupBy-count (which would shuffle O(corpus
     shingles) rows a second time).
     """
-    arrs = shingle_arrays(docs, id_col, text_col, n=shingle_n)
-    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    sizes = arrs.select(F.col(id_col), F.size("shingles").cast("long").alias("n_shingles"))
+    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
+    sizes = shingle_arrays(docs, id_col, text_col, n=shingle_n).select(
+        F.col(id_col), F.size("shingles").cast("long").alias("n_shingles")
+    )
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (

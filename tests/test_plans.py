@@ -154,3 +154,16 @@ def test_doc_fingerprint_is_shuffle_free(spark):
     plan = _plan(doc_fingerprint(_docs(spark), "doc_id", "text"))
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_word_shingles_no_inferred_filter_reexpansion(spark):
+    """Regression: exploding a STAGED shingle column lets the optimizer's
+    InferFiltersFromGenerate add a size()>0 filter that predicate
+    pushdown re-expands below the projection — the whole split→transform
+    tree inline, re-evaluated per lambda element (measured 10×). The
+    generator child must stay an expression; the optimized plan then
+    contains exactly ONE split()."""
+    from milvus_cdc_spark.operators.dedup_text import word_shingles
+
+    plan = _optimized(word_shingles(_docs(spark), "doc_id", "text", distinct=False))
+    assert plan.count("split(") == 1, plan
