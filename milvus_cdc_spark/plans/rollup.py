@@ -88,14 +88,25 @@ class RollupJob:
         if int(table.properties.get("batch_id", -1)) >= batch_id:
             return 0
         partials = self._partials(lo, hi)
-        current = table.read().select(
+        # read CURRENT totals for the touched buckets only — O(touched),
+        # not O(table): a replay's batch touches recent windows, so the
+        # per-batch read must not grow with table age. The bucket-id
+        # collect is ≤ num_buckets ints; the partials agg runs twice
+        # (here and in the join below), both O(batch).
+        from milvus_cdc_spark.functions.hashing import bucket_expr
+
+        snap = table.snap
+        affected = sorted(
+            r[0]
+            for r in partials.select(
+                bucket_expr(KEYS, snap.num_buckets).alias("b")
+            ).distinct().collect()
+        )
+        current = table.read_buckets(snap, affected).select(
             *KEYS,
             F.col("n_events").alias("cur_n"),
             F.col("sum_cents").alias("cur_sum"),
         )
-        # current is only read for the touched keys in effect: the join
-        # is keyed on the partials side, and the CoW merge rewrites only
-        # the buckets those keys hash to
         new_totals = (
             partials.join(current, KEYS, "left")
             .select(
