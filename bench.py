@@ -92,11 +92,9 @@ def main() -> None:
         # median alongside best: best-of is the steal-robust headline,
         # median is the number that survives scrutiny (they converge on a
         # quiet machine; a large gap flags a perturbed run)
-        rates = sorted(s[0] for s in segments)
-        mid = len(rates) // 2
-        eps_median = (
-            rates[mid] if len(rates) % 2 else (rates[mid - 1] + rates[mid]) / 2
-        )
+        import statistics
+
+        eps_median = statistics.median(s[0] for s in segments)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -42,6 +42,10 @@ def asof_join(
     right row; ``"left"`` keeps them with nulls.
     """
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    # a right row with NULL ts can never be an as-of match, but nulls
+    # sort FIRST in the window — its payload would leak into every left
+    # row before the first real right row (with asof_ts still null)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         *key_cols,
         F.col(right_ts).alias("__ts"),

@@ -104,6 +104,10 @@ def word_shingles(
     aggregation is duplicate-insensitive (MinHash: min) pass
     ``distinct=False`` and skip even the array scan. The explode target
     is an EXPRESSION on purpose — see :func:`_shingle_parts`.
+
+    Contract: ``id_col`` is a KEY — one row per document. Rows sharing an
+    id each emit their own shingles (dedup is per-row); exact-dedup the
+    corpus first if ids can repeat.
     """
     tok, shingle = _shingle_parts(docs, id_col, text_col, n, distinct)
     return tok.select(F.col(id_col), F.explode(shingle).alias("shingle"))

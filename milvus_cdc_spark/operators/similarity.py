@@ -173,10 +173,10 @@ def write_bucketed(
     physical layout that makes a probe prune at FILE level (the parquet
     reader never opens non-probed bucket dirs). One shuffle, run once
     per (corpus, plane-set)."""
-    n = 2 ** int(math.log2(max(2, len(planes) * 2)))  # ≈ bucket count
+    n = min(2 ** len(planes), 256)  # bucket count, capped for local mode
     (
         embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
-        .repartition(min(n, 256), F.col("__bucket"))
+        .repartition(n, F.col("__bucket"))
         .write.partitionBy("__bucket")
         .mode("overwrite")
         .parquet(path)

@@ -87,12 +87,14 @@ class RollupJob:
         # NEVER be folded again (double-add corrupts silently)
         if int(table.properties.get("batch_id", -1)) >= batch_id:
             return 0
-        partials = self._partials(lo, hi)
+        # partials are O(touched windows) — small enough to cache for
+        # their two uses (affected-bucket discovery + the totals join)
+        # instead of re-executing the batch aggregation
+        partials = self._partials(lo, hi).persist()
         # read CURRENT totals for the touched buckets only — O(touched),
         # not O(table): a replay's batch touches recent windows, so the
         # per-batch read must not grow with table age. The bucket-id
-        # collect is ≤ num_buckets ints; the partials agg runs twice
-        # (here and in the join below), both O(batch).
+        # collect is ≤ num_buckets ints.
         from milvus_cdc_spark.functions.hashing import bucket_expr
 
         snap = table.snap
@@ -117,14 +119,17 @@ class RollupJob:
                 F.lit(False).alias("__deleted"),
             )
         )
-        table.merge(
-            new_totals,
-            properties={
-                "task_id": self.task_id,
-                "batch_id": batch_id,
-                "offset_end": hi,
-            },
-        )
+        try:
+            table.merge(
+                new_totals,
+                properties={
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "offset_end": hi,
+                },
+            )
+        finally:
+            partials.unpersist()
         rows = 1
         self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
         return rows

@@ -73,7 +73,7 @@ class MultiTableRouter:
         one is a substring of the other ("*" = match-all = empty
         substring). Patterns containing regex metacharacters cannot be
         decided statically and stay the operator's responsibility."""
-        meta = set("\\^$+?{}[]|().")
+        meta = set("\\^$+?{}[]|().*")
 
         def literal(p: str) -> str | None:
             if p == "*":

@@ -76,10 +76,15 @@ class TaskManager:
             "job_kwargs": job_kwargs,
         }
         if start_seq is not None or start_positions:
+            # MIN of the per-partition positions: the replay loop seeks by
+            # global_offset alone, so the seed must not skip past any
+            # partition's unconsumed events. Re-applying events another
+            # partition already consumed is idempotent (seq-resolved
+            # merge); skipping is silent data loss.
             offset = (
                 start_seq
                 if start_seq is not None
-                else max(int(v) for v in start_positions.values())
+                else min(int(v) for v in start_positions.values())
             )
             # persist the seed position BEFORE the task can run, so a
             # crash between create and first run still resumes from it

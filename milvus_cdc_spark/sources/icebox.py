@@ -76,6 +76,11 @@ class Snapshot:
     # "mor" appends delta files per merge, "cow" rewrites buckets.
     seq_col: str | None = None
     write_mode: str = "cow"
+    # bucket-placement formula version; manifests written before the
+    # field existed default to the same murmur3 formula (the only one
+    # 2-key tables ever used). Writers REFUSE unknown values instead of
+    # silently placing keys with the wrong hash.
+    bucket_formula: str = "murmur3"
 
     def schema(self, version: int | None = None) -> T.StructType:
         v = self.current_schema_version if version is None else version
@@ -319,6 +324,11 @@ class IceboxTable:
         keys = snap.key_cols
         target_schema = snap.schema()
 
+        if snap.bucket_formula != "murmur3":
+            raise ValueError(
+                f"table uses bucket formula {snap.bucket_formula!r}; this "
+                "writer only speaks 'murmur3' — refusing to mis-place keys"
+            )
         bucket = bucket_expr(keys, snap.num_buckets)
         changes = changes.withColumn(_BUCKET_COL, bucket)
 
@@ -467,6 +477,7 @@ class IceboxTable:
             committed_ts=time.time(),
             seq_col=cur.seq_col,
             write_mode=cur.write_mode,
+            bucket_formula=cur.bucket_formula,
         )
 
     def _commit_retrying(
@@ -768,6 +779,7 @@ class IceboxTable:
             committed_ts=time.time(),
             seq_col=snap.seq_col,
             write_mode=snap.write_mode,
+            bucket_formula=snap.bucket_formula,
         )
         self._commit(new_snap)
         return new_snap.snapshot_id

@@ -92,12 +92,27 @@ class StreamingReplicator:
                 return
             resume_from = last_seg + 1
             # the DDL paired with the last committed segment may not have
-            # applied before the crash — re-apply, idempotent-by-check
+            # applied before the crash — re-apply, idempotent-by-check,
+            # under the COMMITTED batch_id (0 would rewind the frozen
+            # checkpoint / clobber the snapshot's batch counter)
             if 0 <= last_seg < len(ddl_rows):
                 d = ddl_rows[last_seg]
-                job._apply_ddl(d["event_type"], d["schema_change"], event_seq=int(d["event_seq"]))
+                job._apply_ddl(
+                    d["event_type"], d["schema_change"],
+                    max(int(ckpt["batch_id"]), 0),
+                    event_seq=int(d["event_seq"]),
+                )
+                if (
+                    job.metastore.load_checkpoint(job.task_id).get("dropped")
+                    or table.snap is None
+                ):
+                    return  # the re-applied DDL was drop_table: epoch over
 
-        batch_id = int(ckpt["batch_id"])
+        # Continue batch numbering from whichever is ahead: a crash that
+        # lost the per-segment checkpoint write leaves the table's
+        # committed batch_id > the checkpoint's — reusing it for the NEXT
+        # segment would give two offset ranges one batch_id in lineage.
+        batch_id = max(int(ckpt["batch_id"]), int(table.properties.get("batch_id", -1)))
         for i, (seg_lo, seg_hi) in enumerate(segments):
             if i < resume_from:
                 continue

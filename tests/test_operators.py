@@ -199,3 +199,23 @@ def test_range_join_semantics_and_plan(spark):
     assert sorted(r["click_id"] for r in rj.collect()) == [1, 2]
     plan = rj._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts can never be an as-of match — without
+    the guard its payload leaks into pre-first-match left rows (nulls
+    sort first in the window) while asof_ts stays null."""
+    from milvus_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:05:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, None, 666.0)],
+        "user_id long, ts timestamp, pvalue double",
+    )
+    rows = asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"], how="left").collect()
+    assert len(rows) == 1
+    assert rows[0]["pvalue_asof"] is None and rows[0]["asof_ts"] is None
+    assert asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"]).count() == 0

@@ -145,3 +145,20 @@ def test_name_remap_replicates_into_renamed_target(spark, tmp_base):
     )
     plan = job._build_changes(dml)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_router_star_pattern_not_misread_as_literal(spark, tmp_base):
+    """'org1*' contains a regex metacharacter ('*' = zero-or-more of the
+    previous atom, NOT a glob) — it must be excluded from the literal
+    check rather than misclassified as the literal string 'org1*', which
+    would let genuinely-overlapping scopes pass validation."""
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.plans.router import MultiTableRouter, Route
+
+    meta = Metastore(os.path.join(tmp_base, "meta2"))
+    # regex scope: operator's responsibility, constructor must accept
+    MultiTableRouter(
+        spark, None, meta,
+        [Route("a", os.path.join(tmp_base, "t2a"), "org1*"),
+         Route("b", os.path.join(tmp_base, "t2b"), "org1")],
+    )

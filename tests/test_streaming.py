@@ -217,3 +217,40 @@ def test_streaming_import_event_in_epoch(spark, tmp_base):
     assert len(got) == 30
     assert got[("org9/repo0", "f0.py")] == "bulk 0"     # import (seq 1) beats seq 0
     assert got[("org9/repo1", "f1.py")] == "updated"     # seq 2 beats import
+
+
+def test_streaming_crash_before_drop_table_resumes_clean(spark, tmp_base):
+    """Crash AFTER a segment's merge but BEFORE its drop_table DDL: the
+    replay must re-apply the drop and STOP — not proceed to merge the
+    next segment into the dropped table (AssertionError crash-loop)."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.sources.event_log import EVENT_SCHEMA
+
+    rows = [
+        (0, 0, "insert", "org9/r", "a.py", None, "py", "v0", None, None),
+        (0, 1, "drop_table", None, None, None, None, None, None, None),
+        (0, 2, "insert", "org9/r", "b.py", None, "py", "v2", None, None),
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp_base, "log"))
+    rep = _mk(spark, tmp_base)
+    batch_df = spark.read.parquet(os.path.join(tmp_base, "log"))
+
+    real_apply_ddl = rep.job._apply_ddl
+
+    def dying_ddl(*a, **kw):
+        raise RuntimeError("injected crash before DDL")
+
+    rep.job._apply_ddl = dying_ddl
+    try:
+        rep._apply_epoch(batch_df, 0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    rep.job._apply_ddl = real_apply_ddl
+    # replay: re-applies the drop (idempotent) and returns — no merge
+    # into the dropped table, no exception
+    rep._apply_epoch(batch_df, 0)
+    assert rep.job.metastore.load_checkpoint(rep.job.task_id)["dropped"]

@@ -73,3 +73,14 @@ def test_create_over_paused_task_rejected(spark, env):
     tm.pause("tA")
     with pytest.raises(DuplicateTaskError):
         tm.create("tB", log, os.path.join(tmp, "tbl"))
+
+
+def test_start_positions_seed_uses_min(spark, env):
+    """Seeding from per-partition positions must take the MIN: the replay
+    seeks by global_offset alone, so max() would permanently skip the
+    lagging partitions' unconsumed events (re-applying already-consumed
+    ones is idempotent; skipping is silent data loss)."""
+    tm, log, tmp = env
+    tm.create("tP", log, os.path.join(tmp, "tblP"),
+              start_positions={0: 900, 1: 300})
+    assert tm.get_position("tP")["global_offset"] == 300
