@@ -1,5 +1,6 @@
 """Dataflow + data-pipeline operators."""
 
+from milvus_cdc_spark.operators.asof import asof_join, range_join  # noqa: F401
 from milvus_cdc_spark.operators.dedup import lww_dedup  # noqa: F401
 from milvus_cdc_spark.operators.filters import (  # noqa: F401
     scope_filter,

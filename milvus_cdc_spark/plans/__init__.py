@@ -2,4 +2,5 @@
 
 from milvus_cdc_spark.plans.apply import ReplicateJob  # noqa: F401
 from milvus_cdc_spark.plans.metastore import Metastore  # noqa: F401
+from milvus_cdc_spark.plans.rollup import RollupJob  # noqa: F401
 from milvus_cdc_spark.plans.task import TaskManager  # noqa: F401
