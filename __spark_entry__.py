@@ -251,6 +251,40 @@ def olap_orders_with_big_lineitems(spark, sf_dir):
 # training-data pipeline: dedup over `documents`
 # --------------------------------------------------------------------------
 
+def q_olap_top_parts_per_brand(spark, sf_dir):
+    """Grouped top-N: 3 priciest parts per brand — row_number window,
+    one shuffle on the group key; the per-group sort never sees more
+    than a partition's rows (no global sort)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "p_brand", "rn", "p_partkey",
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        )
+    )
+
+
+def q_olap_rollup(spark, sf_dir):
+    """Hierarchical aggregate with ROLLUP grouping sets — subtotals per
+    (returnflag, linestatus), per returnflag, and grand total, in one
+    shuffle with map-side partials. grouping_id distinguishes subtotal
+    levels (nulls in group-bys are ambiguous otherwise)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def q_cdc_rollup_hourly(spark, sf_dir):
     """Continuous aggregate maintained INCREMENTALLY (4 batches of
     read-modify-write merges into an icebox table, additive batch fence)
@@ -436,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pricing_summary": olap_pricing_summary,
         "olap_top_customers": olap_top_customers,
         "olap_orders_with_big_lineitems": olap_orders_with_big_lineitems,
+        "olap_top_parts_per_brand": q_olap_top_parts_per_brand,
+        "olap_rollup": q_olap_rollup,
         "cdc_rollup_hourly": q_cdc_rollup_hourly,
         "olap_asof_join": q_olap_asof_join,
         "olap_range_join": q_olap_range_join,
@@ -656,6 +692,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        """,
+        "olap_top_parts_per_brand": """
+            SELECT p_brand, rn, p_partkey, price_cents FROM (
+              SELECT p_brand,
+                     row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey) AS rn,
+                     p_partkey,
+                     round(p_retailprice * 100)::BIGINT AS price_cents
+              FROM part
+            ) WHERE rn <= 3
+        """,
+        "olap_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "cdc_rollup_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, user_id,
