@@ -572,6 +572,9 @@ fp AS (
 )
 
 
+CJK_LO, CJK_HI = "\u4e00", "\u9fff"
+
+
 def oracle_sql() -> dict[str, str]:
     stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
     lang_hits = {
@@ -581,6 +584,10 @@ def oracle_sql() -> dict[str, str]:
         )
         for lang, ws in sorted(STOPWORDS.items())
     }
+    # zh is character-level (unsegmented text has no stopword tokens)
+    lang_hits["zh"] = (
+        "length(regexp_replace(text, '[^" + CJK_LO + "-" + CJK_HI + "]', '', 'g'))"
+    )
     best = "greatest(" + ", ".join(f"hits_{lang}" for lang in sorted(STOPWORDS)) + ")"
     pred = "'und'"
     for lang in sorted(STOPWORDS, reverse=True):
@@ -799,21 +806,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality_score": f"""
             SELECT doc_id, n_chars, n_words,
-                   round((n_chars - (n_words - 1)) / n_words, 6) AS mean_word_len,
-                   round(n_punct / n_chars, 6) AS punct_ratio,
-                   round(n_stop / n_words, 6) AS stopword_ratio,
+                   CASE WHEN n_words > 0
+                        THEN round((n_chars - (n_words - 1)) / n_words, 6)
+                        ELSE 0.0 END AS mean_word_len,
+                   round(punct_raw, 6) AS punct_ratio,
+                   round(stop_raw, 6) AS stopword_ratio,
                    round(least(n_words / 200.0, 1.0) * 0.4
-                         + (1 - n_punct / n_chars) * 0.3
-                         + least(n_stop / n_words * 5, 1.0) * 0.3, 6)
+                         + (1 - punct_raw) * 0.3
+                         + least(stop_raw * 5, 1.0) * 0.3, 6)
                      AS quality_score
             FROM (
-              SELECT doc_id,
-                     length(text) AS n_chars,
-                     len(string_split_regex(trim(text), '\\s+')) AS n_words,
-                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
-                     len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         w -> w in ({stop_en}))) AS n_stop
-              FROM documents)
+              SELECT doc_id, n_chars, n_words,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_raw,
+                     CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END AS stop_raw
+              FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w in ({stop_en}))) AS n_stop
+                FROM documents))
         """,
         "text_token_count": r"""
             SELECT doc_id,

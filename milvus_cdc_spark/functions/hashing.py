@@ -64,10 +64,10 @@ def stable_bucket(repo: Column, path: Column, num_buckets: int) -> Column:
     bucket layout durable (the analog of the reference's
     vchannel→pchannel hash, ``funcutil.ToPhysicalChannel``).
     """
-    return F.pmod(F.hash(repo, path), F.lit(num_buckets)).cast(IntegerType())
+    return bucket_expr([repo, path], num_buckets)
 
 
-def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
+def bucket_expr(key_cols: list, num_buckets: int) -> Column:
     """THE bucket-placement formula, any key arity: ``pmod(hash(*keys),
     n)`` (Murmur3 — identical to :func:`stable_bucket` for two keys).
 
@@ -78,6 +78,5 @@ def bucket_expr(key_cols: list[str], num_buckets: int) -> Column:
     reads the wrong buckets for existing keys, yielding duplicate rows
     and missed deletes that no per-batch test catches.
     """
-    return F.pmod(
-        F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)
-    ).cast(IntegerType())
+    cols = [c if isinstance(c, Column) else F.col(c) for c in key_cols]
+    return F.pmod(F.hash(*cols), F.lit(num_buckets)).cast(IntegerType())

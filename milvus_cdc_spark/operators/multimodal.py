@@ -53,6 +53,10 @@ def extract_features(
     values. Swap the body for a real decoder without touching the
     Spark plan.
     """
+    if not 1 <= feature_dim <= 32:
+        raise ValueError(
+            f"feature_dim must be in 1..32 (sha256 digest bytes), got {feature_dim}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,13 +90,17 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
     """'Frame sampling' plumbing demo: slice the payload every N bytes
     (stand-in for video frame extraction) — pure built-ins
     (substring on binary), exploded to one row per frame."""
-    idx = F.sequence(
-        F.lit(0),
-        F.least(
-            F.floor(F.octet_length("payload") / every_n_bytes).cast("int"),
-            F.lit(max_frames - 1),
-        ),
+    # frames = ceil(len / N), capped: a 64-byte payload at N=64 is ONE
+    # frame, not two; empty/NULL payloads yield zero frames (least()
+    # SKIPS nulls, so an unguarded least(null_len, cap) would emit the
+    # full cap of phantom frames for a missing payload)
+    n_bytes = F.coalesce(F.octet_length("payload"), F.lit(0))
+    n_frames = F.least(
+        F.ceil(n_bytes / F.lit(every_n_bytes)).cast("int"), F.lit(max_frames)
     )
+    idx = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return media.select(
         "media_id",
         F.posexplode(idx).alias("frame_no", "_i"),

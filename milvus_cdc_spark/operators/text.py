@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_CJK_LO, _CJK_HI = "\u4e00", "\u9fff"
+
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "is"],
@@ -28,6 +30,15 @@ def _word_hits(text_col, words: list[str]):
     return F.size(F.filter(toks, lambda t: t.isin([w for w in words])))
 
 
+def _cjk_chars(text_col):
+    """Count of CJK-unified-ideograph characters. Chinese has no word
+    separators, so stopword-token matching can never fire on unsegmented
+    text — the zh signal must be character-level."""
+    return F.length(
+        F.regexp_replace(text_col, "[^" + _CJK_LO + "-" + _CJK_HI + "]", "")
+    )
+
+
 def language_id(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -36,6 +47,7 @@ def language_id(
     break by language code order."""
     text = F.col(text_col)
     hit_cols = {lang: _word_hits(text, ws) for lang, ws in sorted(STOPWORDS.items())}
+    hit_cols["zh"] = _cjk_chars(text)  # character-level (no word separators)
     # argmax via greatest + chained when (stable, SQL-portable)
     best_score = F.greatest(*hit_cols.values())
     pred = F.lit("und")
@@ -56,19 +68,29 @@ def quality_score(
 ) -> DataFrame:
     """Document quality features + a composite score in [0, 1]:
 
-    - n_chars, n_words, mean word length
-    - punctuation ratio (non-alnum, non-space chars / chars)
+    - n_chars, n_words (0 for whitespace-only text), mean word length
+      (single-space-separation approximation: (chars − (words−1))/words)
+    - punctuation ratio (ASCII-centric: chars outside [A-Za-z0-9\\s] —
+      counts non-Latin letters too; a crude heuristic, mirrored verbatim
+      by the oracle)
     - stopword ratio (english list — boilerplate/natural-language signal)
-    - score = clamp(words/200)·0.4 + (1−punct_ratio)·0.3 + clamp(stop·5)·0.3
+    - score = clamp(words/200)·0.4 + (1−punct_ratio)·0.3 + clamp(stop·5)·0.3;
+      empty docs score 0 with all ratios 0 (never NULL — a NULL score
+      silently passes threshold filters)
     """
     text = F.col(text_col)
     n_chars = F.length(text)
     words = F.split(F.trim(text), r"\s+")
-    n_words = F.size(words)
-    mean_wlen = F.round((n_chars - (n_words - 1)) / n_words, 6)
+    # split(trim('')) yields [''] — size 1; whitespace-only text has 0 words
+    n_words = F.when(F.length(F.trim(text)) == 0, 0).otherwise(F.size(words))
+    mean_wlen = F.when(
+        n_words > 0, F.round((n_chars - (n_words - 1)) / n_words, 6)
+    ).otherwise(F.lit(0.0))
     n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    punct_raw = n_punct / n_chars
-    stop_raw = _word_hits(text, STOPWORDS["en"]) / n_words
+    punct_raw = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_raw = F.when(
+        n_words > 0, _word_hits(text, STOPWORDS["en"]) / n_words
+    ).otherwise(F.lit(0.0))
     punct_ratio = F.round(punct_raw, 6)
     stop_ratio = F.round(stop_raw, 6)
     # compose the score from RAW ratios and round once — rounding rounded

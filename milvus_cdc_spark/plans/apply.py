@@ -104,8 +104,18 @@ class ReplicateJob:
     def run(self, until_seq: int, max_batches: int | None = None) -> dict:
         """Replay the log through ``until_seq`` (inclusive) in micro-batches,
         resuming from the checkpoint. Returns summary stats."""
-        table = self.table()
         ckpt = self.metastore.load_checkpoint(self.task_id)
+        if ckpt.get("dropped"):
+            # drop_table already replayed: the pointer is tombstoned and
+            # positions are frozen — resuming is a clean no-op, not an
+            # AssertionError on a snapshotless handle
+            return {
+                "batches": 0, "events_applied": 0, "seconds": 0.0,
+                "events_per_sec": None,
+                "final_offset": int(ckpt.get("global_offset", -1)),
+                "dropped": True,
+            }
+        table = self.table()
         lo = int(ckpt.get("global_offset", -1))
         batch_id = ckpt["batch_id"] + 1
 
@@ -137,11 +147,14 @@ class ReplicateJob:
             if self.metastore.load_checkpoint(self.task_id).get("dropped"):
                 break  # drop_table event: positions frozen, task ends
         dt = time.time() - t0
+        # rows are counted by the merge-piggybacked Observation; without
+        # it there is no row count to report — None, not a false 0
+        observed = self.collect_metrics
         return {
             "batches": batches,
-            "events_applied": total_rows,
+            "events_applied": total_rows if observed else None,
             "seconds": dt,
-            "events_per_sec": total_rows / dt if dt > 0 else None,
+            "events_per_sec": (total_rows / dt) if (observed and dt > 0) else None,
             "final_offset": lo,
         }
 
@@ -317,7 +330,7 @@ class ReplicateJob:
                     "rows_applied": int(r["rows_in"]),
                     "bytes": int(r["bytes"] or 0),
                     "events_per_sec": (rows_total / dt) if dt > 0 else None,
-                    "lag_events": (lag_base - int(r["max_seq"])) if lag_base else None,
+                    "lag_events": (lag_base - int(r["max_seq"])) if lag_base is not None else None,
                 }
                 for r in stats
             ]

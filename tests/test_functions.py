@@ -43,3 +43,36 @@ def test_stable_bucket_deterministic_and_bounded(spark):
     a1 = sorted(r["b"] for r in b.collect())
     a2 = sorted(r["b"] for r in b.collect())
     assert a1 == a2
+
+
+def test_frame_sample_counts(spark):
+    """ceil(len/N) frames capped at max_frames; NULL/empty payloads give
+    ZERO frames (least() skips nulls — unguarded, a missing payload
+    emitted the full cap of phantom frames)."""
+    from milvus_cdc_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, bytearray(b"x" * 64)),    # exactly one frame at N=64
+        (2, bytearray(b"x" * 65)),    # two frames
+        (3, bytearray(b"x" * 1000)),  # capped at max_frames
+        (4, None),                    # zero frames
+        (5, bytearray(b"")),          # zero frames
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = (
+        frame_sample(df, every_n_bytes=64, max_frames=8)
+        .groupBy("media_id").count().collect()
+    )
+    counts = {r["media_id"]: r["count"] for r in got}
+    assert counts == {1: 1, 2: 2, 3: 8}
+
+
+def test_extract_features_validates_dim(spark):
+    import pytest
+
+    from milvus_cdc_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, "blob", bytearray(b"x"))],
+                               "media_id long, kind string, payload binary")
+    with pytest.raises(ValueError, match="1..32"):
+        extract_features(df, feature_dim=64)

@@ -82,3 +82,40 @@ def test_drop_table_freezes_positions(spark, tmp_base):
     # positions frozen: later saves are ignored (meta_op.go:145-177 analog)
     job.metastore.save_checkpoint(job.task_id, 99, {0: 999}, global_offset=999)
     assert job.metastore.load_checkpoint(job.task_id)["global_offset"] == ck["global_offset"]
+
+
+def test_run_after_drop_returns_cleanly(spark, tmp_base):
+    """Resuming a task whose drop_table already replayed must be a clean
+    no-op summary, not an AssertionError on a snapshotless handle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.plans.apply import ReplicateJob, parquet_source
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.sources.event_log import EVENT_SCHEMA
+
+    rows = [
+        (0, 0, "insert", "org0/r", "a.py", None, "py", "v0", None, None),
+        (0, 1, "drop_table", None, None, None, None, None, None, None),
+        (0, 2, "insert", "org0/r", "b.py", None, "py", "v2", None, None),
+    ]
+    log = os.path.join(tmp_base, "log")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(log)
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        num_buckets=4, batch_size=10,
+    )
+    job.run(until_seq=2)
+    assert job.metastore.load_checkpoint(job.task_id)["dropped"]
+    # fresh handle, same metastore — the retry/resume path
+    job2 = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        num_buckets=4, batch_size=10,
+    )
+    res = job2.run(until_seq=2)
+    assert res["batches"] == 0 and res.get("dropped") is True
