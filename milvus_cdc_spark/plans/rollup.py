@@ -122,6 +122,9 @@ class RollupJob:
         try:
             table.merge(
                 new_totals,
+                # buckets already known from the partials — the merge
+                # skips its discovery staging write (one write per batch)
+                affected_buckets=affected,
                 properties={
                     "task_id": self.task_id,
                     "batch_id": batch_id,

@@ -287,6 +287,7 @@ class IceboxTable:
         properties: dict[str, Any] | None = None,
         compact_threshold: int = 8,
         changes_partitioned: bool = False,
+        affected_buckets: list[int] | None = None,
     ) -> int:
         """MERGE INTO: upsert-or-delete ``changes`` by the table's key.
 
@@ -382,23 +383,37 @@ class IceboxTable:
             # below re-reads the cheap staged parquet — the expensive
             # upstream pipeline (dedup + Arrow UDFs) executes exactly one
             # time instead of once for discovery and again for the write.
-            chg_staging = staging + "-chg"
-            changes.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
-                F.col(delete_col).cast("boolean").alias(delete_col),
-                F.col(_BUCKET_COL),
-            ).write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(chg_staging)
-            staged_chg = _list_bucket_files(chg_staging)
-            if not staged_chg:
-                return snap.snapshot_id
-            affected = sorted({b for b, _ in staged_chg})
-            chg_schema = T.StructType(
-                target_schema.fields
-                + [T.StructField(delete_col, T.BooleanType(), False)]
-            )
-            staged_changes = self.spark.read.schema(chg_schema).parquet(
-                *[p for _, p in staged_chg]
-            )
+            if affected_buckets is not None:
+                # the caller already knows the touched buckets (e.g. the
+                # rollup computes them from its partials) — skip the
+                # discovery staging write; changes still execute once,
+                # inside the winners write below
+                affected = sorted(set(affected_buckets))
+                if not affected:
+                    return snap.snapshot_id
+                staged_changes = changes.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name)
+                      for f in target_schema.fields],
+                    F.col(delete_col).cast("boolean").alias(delete_col),
+                )
+            else:
+                chg_staging = staging + "-chg"
+                changes.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target_schema.fields],
+                    F.col(delete_col).cast("boolean").alias(delete_col),
+                    F.col(_BUCKET_COL),
+                ).write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(chg_staging)
+                staged_chg = _list_bucket_files(chg_staging)
+                if not staged_chg:
+                    return snap.snapshot_id
+                affected = sorted({b for b, _ in staged_chg})
+                chg_schema = T.StructType(
+                    target_schema.fields
+                    + [T.StructField(delete_col, T.BooleanType(), False)]
+                )
+                staged_changes = self.spark.read.schema(chg_schema).parquet(
+                    *[p for _, p in staged_chg]
+                )
             old = self.read_buckets(snap, affected)
             data_cols = [f.name for f in target_schema.fields]
             tagged_old = old.select(
