@@ -286,10 +286,12 @@ def q_olap_rollup(spark, sf_dir):
 
 
 def q_cdc_rollup_hourly(spark, sf_dir):
-    """Continuous aggregate maintained INCREMENTALLY (4 batches of
+    """Continuous aggregate maintained INCREMENTALLY (two batches of
     read-modify-write merges into an icebox table, additive batch fence)
-    — must equal the one-shot GROUP BY the oracle runs. The hypertable-
-    rollup analog; see plans/rollup.py."""
+    — must equal the one-shot GROUP BY the oracle runs. Two batches pin
+    the incremental property (batch 2 folds into batch 1's totals) at
+    half the fixed micro-batch overhead of more; the hypertable-rollup
+    analog, see plans/rollup.py (tests drive 5-batch runs + crashes)."""
     import tempfile
 
     from milvus_cdc_spark.plans.metastore import Metastore
@@ -303,7 +305,7 @@ def q_cdc_rollup_hourly(spark, sf_dir):
         events_path=events_path,
         table_root=f"{work}/tbl",
         metastore=Metastore(f"{work}/meta"),
-        batch_size=max((int(max_id) + 1) // 4, 1),
+        batch_size=max((int(max_id) + 1) // 2, 1),
         num_buckets=8,
     )
     job.run(until_seq=int(max_id))
