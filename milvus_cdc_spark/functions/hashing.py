@@ -68,15 +68,66 @@ def stable_bucket(repo: Column, path: Column, num_buckets: int) -> Column:
 
 
 def bucket_expr(key_cols: list, num_buckets: int) -> Column:
-    """THE bucket-placement formula, any key arity: ``pmod(hash(*keys),
-    n)`` (Murmur3 — identical to :func:`stable_bucket` for two keys).
+    """The ``murmur3`` bucket-placement formula, any key arity:
+    ``pmod(hash(*keys), n)`` (Murmur3 — identical to
+    :func:`stable_bucket` for two keys).
 
     Every write path — merge, compaction, rebucket, and bootstrap
-    ``overwrite`` — must derive bucket ids through THIS helper. Two
-    formulas coexisting in the codebase is a data-corruption bug class:
-    a table bootstrapped under formula A and merged under formula B
-    reads the wrong buckets for existing keys, yielding duplicate rows
-    and missed deletes that no per-batch test catches.
+    ``overwrite`` — must derive bucket ids through :func:`placement_expr`
+    (which dispatches on the table's manifest-recorded formula and calls
+    this for ``murmur3`` tables). Two formulas touching ONE table is a
+    data-corruption bug class: a table bootstrapped under formula A and
+    merged under formula B reads the wrong buckets for existing keys,
+    yielding duplicate rows and missed deletes that no per-batch test
+    catches — hence the manifest records the formula and writers refuse
+    names they don't implement.
     """
     cols = [c if isinstance(c, Column) else F.col(c) for c in key_cols]
     return F.pmod(F.hash(*cols), F.lit(num_buckets)).cast(IntegerType())
+
+
+def placement_expr(formula: str, key_cols: list, num_buckets: int) -> Column:
+    """Bucket id for a row under the table's manifest-recorded placement
+    formula. ALL icebox write paths derive bucket ids through this one
+    dispatcher (see :func:`bucket_expr` for why exactly one formula may
+    ever touch a table).
+
+    - ``"murmur3"``: ``pmod(hash(*keys), num_buckets)`` — pure hash
+      placement; right for tables whose access pattern has no time
+      locality (the replica table keyed on (repo, path)).
+    - ``"timehash:day"`` / ``"timehash:month"``: coarse-TIME leading
+      component from ``key_cols[0]`` (must be a timestamp/date), hash of
+      the remaining keys below it::
+
+          bucket = time_units_since_epoch(key0) * num_buckets
+                   + pmod(hash(key1..), num_buckets)
+
+      The bucket-id domain is unbounded (grows with time), which a
+      manifest keyed by bucket-id strings supports for free. This is the
+      Iceberg ``PARTITIONED BY (days(ts), bucket(N, id))`` shape: a
+      batch that touches only recent time units reads/rewrites only
+      those units' buckets, so per-batch read-modify-write cost stays
+      O(batch window), never O(table age) — the property a continuous
+      rollup needs at 10^10 events (VERDICT r2 #1).
+    """
+    if formula == "murmur3":
+        return bucket_expr(key_cols, num_buckets)
+    if formula.startswith("timehash:"):
+        unit = formula.split(":", 1)[1]
+        cols = [c if isinstance(c, Column) else F.col(c) for c in key_cols]
+        t0 = cols[0]
+        if unit == "day":
+            coarse = F.datediff(t0.cast("date"), F.lit("1970-01-01").cast("date"))
+        elif unit == "month":
+            coarse = (F.year(t0) - F.lit(1970)) * F.lit(12) + (F.month(t0) - F.lit(1))
+        else:
+            raise ValueError(f"unknown timehash granularity {unit!r}")
+        if len(cols) > 1:
+            sub = F.pmod(F.hash(*cols[1:]), F.lit(num_buckets))
+        else:
+            sub = F.lit(0)
+        return (coarse.cast("long") * F.lit(num_buckets) + sub).cast("long")
+    raise ValueError(
+        f"unknown bucket formula {formula!r}; this writer speaks "
+        "'murmur3' and 'timehash:<day|month>' — refusing to mis-place keys"
+    )

@@ -11,9 +11,16 @@ The classic continuous-aggregate maintenance loop, CDC-style:
       MERGE new_totals (LWW upsert keyed on (bucket, key), seq = batch_id)
       checkpoint
 
-Cost per batch is O(batch + affected rows), never O(table): a day-long
-replay only ever rewrites the windows its events fall into (recent ones,
-for an ordered log). Exactly-once matters MORE here than for the replica
+Cost per batch is O(batch + affected rows), never O(table) — and never
+O(table AGE): the totals table is placed with the ``timehash:day``
+formula (coarse day of ``window_start`` ABOVE a hash sub-bucket of
+``user_id`` — the Iceberg ``days(ts), bucket(N, id)`` shape, see
+``functions/hashing.py:placement_expr``), so a batch touching only
+recent windows reads and rewrites only those days' buckets. Under pure
+hash placement every bucket would hold rows for ALL windows ever seen
+and the per-batch read-modify-write would grow with table age forever —
+the decay a year-long 100 TB replay cannot afford. Exactly-once matters
+MORE here than for the replica
 table — adding a batch twice corrupts totals silently — so the additive
 step is fenced by the snapshot's ``batch_id`` property (a replayed batch
 is skipped, mirroring the apply path's fence) on top of
@@ -52,7 +59,7 @@ class RollupJob:
     metastore: Metastore
     task_id: str = "rollup0"
     batch_size: int = 100_000
-    num_buckets: int = 8
+    num_buckets: int = 8  # hash SUB-buckets per day partition
     bucket: str = "1 hour"
     _table: IceboxTable | None = field(default=None, repr=False)
 
@@ -65,6 +72,9 @@ class RollupJob:
                     properties={"task_id": self.task_id, "batch_id": -1},
                     seq_col="last_batch",
                     write_mode="cow",  # totals are read-modify-write anyway
+                    # day-of-window ABOVE the hash: per-batch reads prune
+                    # to the batch's own days, never re-reading old totals
+                    bucket_formula="timehash:day",
                 )
             self._table = IceboxTable(self.spark, self.table_root)
         return self._table
@@ -91,17 +101,18 @@ class RollupJob:
         # their two uses (affected-bucket discovery + the totals join)
         # instead of re-executing the batch aggregation
         partials = self._partials(lo, hi).persist()
-        # read CURRENT totals for the touched buckets only — O(touched),
-        # not O(table): a replay's batch touches recent windows, so the
-        # per-batch read must not grow with table age. The bucket-id
-        # collect is ≤ num_buckets ints.
-        from milvus_cdc_spark.functions.hashing import bucket_expr
+        # read CURRENT totals for the touched buckets only. Under the
+        # table's timehash:day placement the touched bucket ids encode
+        # the batch's own DAYS — old days' totals are never re-read, so
+        # the per-batch read is O(batch window), not O(table age). The
+        # bucket-id collect is ≤ (days touched × sub-buckets) ints.
+        from milvus_cdc_spark.functions.hashing import placement_expr
 
         snap = table.snap
         affected = sorted(
             r[0]
             for r in partials.select(
-                bucket_expr(KEYS, snap.num_buckets).alias("b")
+                placement_expr(snap.bucket_formula, KEYS, snap.num_buckets).alias("b")
             ).distinct().collect()
         )
         current = table.read_buckets(snap, affected).select(
@@ -120,7 +131,7 @@ class RollupJob:
             )
         )
         try:
-            table.merge(
+            snapshot_id = table.merge(
                 new_totals,
                 # buckets already known from the partials — the merge
                 # skips its discovery staging write (one write per batch)
@@ -133,9 +144,8 @@ class RollupJob:
             )
         finally:
             partials.unpersist()
-        rows = 1
         self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
-        return rows
+        return snapshot_id
 
     def run(self, until_seq: int, max_batches: int | None = None) -> dict:
         ckpt = self.metastore.load_checkpoint(self.task_id)

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from milvus_cdc_spark.functions.hashing import bucket_expr
+from milvus_cdc_spark.functions.hashing import placement_expr
 
 _BUCKET_COL = "__bucket"
 _DELETED_COL = "__deleted"
@@ -76,10 +76,13 @@ class Snapshot:
     # "mor" appends delta files per merge, "cow" rewrites buckets.
     seq_col: str | None = None
     write_mode: str = "cow"
-    # bucket-placement formula version; manifests written before the
-    # field existed default to the same murmur3 formula (the only one
-    # 2-key tables ever used). Writers REFUSE unknown values instead of
-    # silently placing keys with the wrong hash.
+    # bucket-placement formula; manifests written before the field
+    # existed default to the same murmur3 formula (the only one 2-key
+    # tables ever used). "timehash:<day|month>" places a coarse time
+    # unit of key_cols[0] ABOVE the hash (Iceberg days(ts)+bucket(N)
+    # shape) so time-local batches prune old data at file level.
+    # Writers REFUSE unknown values instead of silently placing keys
+    # with the wrong formula (functions/hashing.py:placement_expr).
     bucket_formula: str = "murmur3"
 
     def schema(self, version: int | None = None) -> T.StructType:
@@ -115,6 +118,7 @@ class IceboxTable:
         if_not_exists: bool = False,
         seq_col: str | None = None,
         write_mode: str = "cow",
+        bucket_formula: str = "murmur3",
     ) -> "IceboxTable":
         """CREATE TABLE. Idempotent under ``if_not_exists`` — the analog of
         the reference's describe-before-create DDL guard
@@ -128,6 +132,17 @@ class IceboxTable:
         """
         if write_mode == "mor" and not seq_col:
             raise ValueError("write_mode='mor' requires seq_col")
+        # fail fast on an unknown/misconfigured formula at CREATE, not on
+        # the first merge (placement_expr raises on unknown names)
+        placement_expr(bucket_formula, key_cols, num_buckets)
+        if bucket_formula.startswith("timehash:"):
+            sch = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+            t0 = sch[key_cols[0]].dataType.simpleString()
+            if t0 not in ("timestamp", "timestamp_ntz", "date"):
+                raise ValueError(
+                    f"timehash placement needs a time-typed leading key; "
+                    f"{key_cols[0]!r} is {t0}"
+                )
         if cls.exists(root):
             if if_not_exists:
                 return cls(spark, root)
@@ -150,6 +165,7 @@ class IceboxTable:
             committed_ts=time.time(),
             seq_col=seq_col,
             write_mode=write_mode,
+            bucket_formula=bucket_formula,
         )
         _write_snapshot_exclusive(root, snap, expect=None)
         _swap_pointer(root, 0, expect=None)
@@ -325,13 +341,15 @@ class IceboxTable:
         keys = snap.key_cols
         target_schema = snap.schema()
 
-        if snap.bucket_formula != "murmur3":
-            raise ValueError(
-                f"table uses bucket formula {snap.bucket_formula!r}; this "
-                "writer only speaks 'murmur3' — refusing to mis-place keys"
-            )
-        bucket = bucket_expr(keys, snap.num_buckets)
+        # placement_expr raises on a formula this writer doesn't speak —
+        # never silently mis-place keys
+        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
         changes = changes.withColumn(_BUCKET_COL, bucket)
+        if snap.bucket_formula != "murmur3":
+            # the partition-index==bucket-id identity below is a murmur3
+            # property (repartition uses pmod(hash, n)); other formulas
+            # must co-locate on the bucket column explicitly
+            changes_partitioned = False
 
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
@@ -447,6 +465,17 @@ class IceboxTable:
                 .parquet(staging)
             )
             staged_cow = _list_bucket_files(staging)
+            # The rewrite may only land inside `affected` — a change row
+            # hashing OUTSIDE the caller-supplied set would be APPENDED to
+            # an uncleared bucket without merging against its keys (silent
+            # duplicates). Cheap check (a directory listing), loud failure.
+            stray = sorted({b for b, _ in staged_cow} - {int(b) for b in affected})
+            if stray:
+                raise ValueError(
+                    f"merge changes landed in buckets {stray} outside the "
+                    f"caller-supplied affected_buckets — refusing to commit "
+                    "(would duplicate keys in unmerged buckets)"
+                )
             staged_version = snap.current_schema_version
             base_view = {str(b): snap.buckets.get(str(b)) for b in affected}
 
@@ -563,7 +592,7 @@ class IceboxTable:
             return buckets
         keys = snap.key_cols
         seq = snap.seq_col
-        bucket = bucket_expr(keys, snap.num_buckets)
+        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
         staging = os.path.join(
             self.root, "data", f"compact-{new_id}-{uuid.uuid4().hex[:8]}"
         )
@@ -620,13 +649,15 @@ class IceboxTable:
         data = self.read()
         keys = snap.key_cols
         new_id = snap.snapshot_id + 1
-        bucket = bucket_expr(keys, new_num_buckets)
+        bucket = placement_expr(snap.bucket_formula, keys, new_num_buckets)
         staging = os.path.join(
             self.root, "data", f"rebucket-{new_id}-{uuid.uuid4().hex[:8]}"
         )
         (
-            data.repartition(new_num_buckets, *keys)
-            .withColumn(_BUCKET_COL, bucket)
+            data.withColumn(_BUCKET_COL, bucket)
+            # cluster on the bucket VALUE (not the raw keys) so one task
+            # writes one bucket dir under any placement formula
+            .repartition(new_num_buckets, F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(staging)
@@ -722,7 +753,7 @@ class IceboxTable:
         assert self.snap is not None
         snap = self.snap
         keys = snap.key_cols
-        bucket = bucket_expr(keys, snap.num_buckets)
+        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
         target_schema = snap.schema()

@@ -265,3 +265,73 @@ def test_concurrent_writers_one_table_threads(spark, tmp_base):
     assert got[("wa", "0")] == 130 and got[("wb", "2")] == 232
     sids = t0.snapshots()
     assert sids == list(range(len(sids)))  # gapless: no clobbered manifests
+
+
+TSCHEMA = "ts timestamp, k bigint, v bigint"
+
+
+def _mk_timehash(spark, tmp, name="tt", sub=4):
+    return IceboxTable.create(
+        spark, os.path.join(tmp, name), TSCHEMA, ["ts", "k"],
+        num_buckets=sub, bucket_formula="timehash:day",
+    )
+
+
+def _tchanges(spark, rows):
+    import datetime
+
+    rows = [(datetime.datetime.utcfromtimestamp(ts), k, v, d) for ts, k, v, d in rows]
+    return spark.createDataFrame(rows, TSCHEMA + ", __deleted boolean")
+
+
+def test_timehash_placement_separates_days(spark, tmp_base):
+    """timehash:day places rows of different days in disjoint buckets and
+    merge semantics (upsert/delete by key) are unchanged."""
+    t = _mk_timehash(spark, tmp_base)
+    day = 86_400
+    t.merge(_tchanges(spark, [(0, 1, 10, False), (day, 1, 20, False)]))
+    days = sorted({int(b) // 4 for b in t.snap.buckets})
+    assert len(days) == 2 and days[1] == days[0] + 1
+    # update day-0 row, delete day-1 row
+    t.merge(_tchanges(spark, [(0, 1, 11, False), (day, 1, 0, True)]))
+    got = {(r["ts"].timestamp(), r["k"]): r["v"] for r in t.read().collect()}
+    assert got == {(0.0, 1): 11}
+
+
+def test_timehash_requires_time_typed_leading_key(spark, tmp_base):
+    with pytest.raises(ValueError, match="time-typed"):
+        IceboxTable.create(
+            spark, os.path.join(tmp_base, "bad"), SCHEMA, ["repo", "path"],
+            bucket_formula="timehash:day",
+        )
+    with pytest.raises(ValueError, match="granularity"):
+        IceboxTable.create(
+            spark, os.path.join(tmp_base, "bad2"), TSCHEMA, ["ts", "k"],
+            bucket_formula="timehash:week",
+        )
+
+
+def test_unknown_bucket_formula_refused(spark, tmp_base):
+    t = _mk(spark, tmp_base, "fref")
+    t.snap.bucket_formula = "fnv1a"  # manifest from a newer writer
+    with pytest.raises(ValueError, match="unknown bucket formula"):
+        t.merge(_changes(spark, [("a", "1", 1, False)]))
+
+
+def test_merge_rejects_stray_affected_buckets(spark, tmp_base):
+    """merge(affected_buckets=...) must refuse changes that hash outside
+    the caller-supplied set — appending to an uncleared bucket would
+    duplicate keys silently (ADVICE r2)."""
+    t = _mk(spark, tmp_base, "stray")
+    t.merge(_changes(spark, [("a", "1", 1, False), ("b", "2", 2, False)]))
+    b_a = _bucket_of(spark, "a", "1", 8)
+    b_b = _bucket_of(spark, "b", "2", 8)
+    assert b_a != b_b
+    before = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    with pytest.raises(ValueError, match="outside the"):
+        t.merge(
+            _changes(spark, [("a", "1", 10, False), ("b", "2", 20, False)]),
+            affected_buckets=[b_a],  # caller forgot b's bucket
+        )
+    t.refresh()
+    assert {(r["repo"], r["path"]): r["v"] for r in t.read().collect()} == before

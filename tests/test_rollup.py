@@ -105,3 +105,41 @@ def test_rollup_lost_checkpoint_fast_forwards(spark, tmp_base):
     job2 = _mk(spark, tmp_base)
     job2.run(until_seq=4999)
     assert _got(job2) == _expected(spark, p)
+
+
+def test_rollup_per_batch_read_is_time_pruned(spark, tmp_base, monkeypatch):
+    """The continuous aggregate's read-modify-write must stay O(batch
+    window), not O(table age): with timehash:day placement, a batch
+    touching only its own days never re-reads older days' totals, so the
+    per-batch file read does NOT grow as batches accumulate (VERDICT r2
+    #1). The events here are time-ordered (37s apart → ~10h per 1000-row
+    batch), so later batches land on later days."""
+    from milvus_cdc_spark.sources.icebox import IceboxTable
+
+    _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+
+    reads: list[dict] = []
+    orig = IceboxTable.read_buckets
+
+    def spy(self, snap, bucket_ids):
+        if bucket_ids is not None:  # the per-batch totals read
+            files = sum(len(snap.buckets.get(str(b), [])) for b in bucket_ids)
+            reads.append({"buckets": list(bucket_ids), "files": files})
+        return orig(self, snap, bucket_ids)
+
+    monkeypatch.setattr(IceboxTable, "read_buckets", spy)
+    job.run(until_seq=4999)
+    # two pruned reads per batch: the rollup's own totals read + the CoW
+    # merge's internal read of the same affected buckets
+    assert len(reads) == 10
+    # day partitioning above the hash: bucket ids encode the batch's days
+    days = [sorted({b // job.num_buckets for b in r["buckets"]}) for r in reads]
+    # the last batch must not touch the first batch's days (time moved on)
+    assert not (set(days[-1]) & set(days[0]))
+    # each batch spans ≲1 day of events → reads ≤ 2 days × sub-buckets of
+    # files; crucially the LAST batch reads no more than the FIRST did
+    # even though the table now holds 4 batches of accumulated totals
+    assert reads[-1]["files"] <= max(reads[0]["files"], 2 * job.num_buckets)
+    for r in reads:
+        assert r["files"] <= 2 * job.num_buckets
