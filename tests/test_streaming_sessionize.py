@@ -86,3 +86,51 @@ def test_sessionize_stream_matches_batch_fold(spark, tmp_base):
     # the closed session (u10 session A) was emitted as final (open=false)
     closed = spark.read.parquet(out).filter(~F.col("open")).toPandas()
     assert ((closed.user_id == 10) & (closed.n_events == 3)).any()
+
+
+def test_fold_is_chunk_order_independent_and_vectorized():
+    """applyInPandasWithState delivers a group as MULTIPLE Arrow chunks
+    (arrow.maxRecordsPerBatch) with no cross-chunk ordering: a later
+    chunk carrying earlier timestamps must not regress last_ts or split
+    sessions at chunk borders (ADVICE r2). Also pins the no-per-row-
+    Python rule: the fold source must not iterate event values."""
+    import inspect
+
+    import numpy as np
+    import pandas as pd
+
+    import milvus_cdc_spark.streaming.sessionize as mod
+    from milvus_cdc_spark.streaming.sessionize import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    fold = make_sessionizer(1800)
+    # two sessions: [0, 100, 200] and [10_000s, 10_100s]; chunk 2 holds
+    # EARLIER timestamps than chunk 1 — chunk-local ordering would fold
+    # 10_000s before 100s and fabricate extra sessions
+    c1 = pd.DataFrame({"ts": pd.to_datetime([200, 10_000, 10_100], unit="s")})
+    c2 = pd.DataFrame({"ts": pd.to_datetime([0, 100], unit="s")})
+    st = FakeState()
+    (out,) = fold((1,), iter([c1, c2]), st)
+    got = [
+        (int(r["session_start"].timestamp()), int(r["session_end"].timestamp()),
+         int(r["n_events"]), bool(r["open"]))
+        for _, r in out.iterrows()
+    ]
+    assert got == [(0, 200, 3, False), (10_000, 10_100, 2, True)]
+    assert st.v == (10_000 * 10**6, 10_100 * 10**6, 2)
+    src = inspect.getsource(mod.make_sessionizer)
+    assert "iterrows" not in src and "for ts in" not in src
