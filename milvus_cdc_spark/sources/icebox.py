@@ -707,46 +707,98 @@ class IceboxTable:
         self._commit(new_snap)
         return new_id
 
-    def expire_snapshots(self, keep_last: int = 10) -> dict[str, int]:
-        """Maintenance GC — the Iceberg ``expire_snapshots`` analog.
+    def expire_snapshots(
+        self, keep_last: int = 10, orphan_grace_seconds: float = 3600.0
+    ) -> dict[str, int]:
+        """Maintenance GC — the Iceberg ``expire_snapshots`` +
+        ``remove_orphan_files`` analog, with Iceberg's safety split:
 
-        Keeps the newest ``keep_last`` snapshots (always including the
-        live one), deletes older manifests, and physically removes every
-        data file no kept snapshot references. Without this, a table fed
-        10^10 events accumulates superseded base/delta files forever —
-        compaction re-links data into new files but never deletes the old
-        ones, so storage grows O(total bytes ever written), not O(live).
-        Time travel shrinks to the kept window. Driver-side file ops:
-        manifests are tiny and data-file counts are O(buckets × files
-        per bucket), never O(rows).
+        - **expire**: delete manifests older than the newest ``keep_last``
+          and every data file referenced ONLY by those removed snapshots.
+          Such files were committed once, so they can never be the staged
+          output of an in-flight merge — always safe.
+        - **orphan GC**: files referenced by NO manifest (crashed writers'
+          staging leftovers) are deleted only when older than
+          ``orphan_grace_seconds`` (mtime). A merge racing this call in
+          another thread has young staged files — the grace window keeps
+          GC from deleting them before their commit (the same min-age
+          guard Iceberg's remove_orphan_files carries). The per-table
+          commit lock is held throughout so the manifest set is a
+          consistent cut.
+
+        Without GC a table fed 10^10 events accumulates superseded
+        base/delta files forever — compaction re-links data into new
+        files but never deletes old ones, so storage grows O(total bytes
+        ever written), not O(live). Time travel shrinks to the kept
+        window. Driver-side file ops: manifests are tiny and data-file
+        counts are O(buckets × files per bucket), never O(rows).
         """
         assert self.snap is not None
-        snaps = self.snapshots()
-        keep = set(snaps[-keep_last:]) | {self.snap.snapshot_id}
-        referenced: set[str] = set()
-        for sid in keep:
-            s = _read_snapshot(self.root, sid)
-            assert s is not None
-            for files in s.buckets.values():
-                for f in files:
-                    referenced.add(os.path.abspath(f["path"]))
-        removed_snaps = 0
-        for sid in snaps:
-            if sid not in keep:
-                os.remove(os.path.join(self.root, "snapshots", f"v{sid}.json"))
-                removed_snaps += 1
-        removed_files = 0
-        data_root = os.path.join(self.root, "data")
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for fn in filenames:
-                p = os.path.abspath(os.path.join(dirpath, fn))
-                gc_able = fn.endswith(".parquet") or fn.startswith("_SUCCESS") or fn.startswith(".")
-                if gc_able and p not in referenced:
-                    os.remove(p)
-                    removed_files += 1
-            if dirpath != data_root and not os.listdir(dirpath):
-                os.rmdir(dirpath)
-        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+        with _commit_lock(self.root):
+            snaps = self.snapshots()
+            keep = set(snaps[-keep_last:]) | {self.snap.snapshot_id}
+
+            def refs(sids) -> set[str]:
+                out: set[str] = set()
+                for sid in sids:
+                    s = _read_snapshot(self.root, sid)
+                    assert s is not None
+                    for files in s.buckets.values():
+                        for f in files:
+                            out.add(os.path.abspath(f["path"]))
+                return out
+
+            kept_refs = refs(keep)
+            removed_refs = refs([s for s in snaps if s not in keep])
+            removed_snaps = 0
+            for sid in snaps:
+                if sid not in keep:
+                    os.remove(os.path.join(self.root, "snapshots", f"v{sid}.json"))
+                    removed_snaps += 1
+            removed_files = 0
+            removed_orphans = 0
+            now = time.time()
+            data_root = os.path.join(self.root, "data")
+            for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+                for fn in filenames:
+                    p = os.path.abspath(os.path.join(dirpath, fn))
+                    gc_able = (
+                        fn.endswith(".parquet")
+                        or fn.startswith("_SUCCESS")
+                        or fn.startswith(".")
+                    )
+                    if not gc_able or p in kept_refs:
+                        continue
+                    if p in removed_refs:
+                        os.remove(p)  # expired: committed once, now unreachable
+                        removed_files += 1
+                    else:
+                        # orphan (never committed): only past the grace
+                        # window — young files may be an in-flight merge's
+                        # staging output
+                        try:
+                            if now - os.path.getmtime(p) > orphan_grace_seconds:
+                                os.remove(p)
+                                removed_orphans += 1
+                        except FileNotFoundError:
+                            pass  # concurrent writer moved/cleaned it
+                # empty-dir cleanup honors the same grace window: a young
+                # empty dir may be an in-flight write's just-created
+                # staging/_temporary tree
+                try:
+                    if (
+                        dirpath != data_root
+                        and not os.listdir(dirpath)
+                        and now - os.path.getmtime(dirpath) > orphan_grace_seconds
+                    ):
+                        os.rmdir(dirpath)
+                except (FileNotFoundError, OSError):
+                    pass  # concurrent writer repopulated or removed it
+        return {
+            "removed_snapshots": removed_snaps,
+            "removed_files": removed_files,
+            "removed_orphans": removed_orphans,
+        }
 
     def overwrite(self, df: DataFrame, properties: dict[str, Any] | None = None) -> int:
         """Full rewrite (INSERT OVERWRITE) — used for bootstrap loads."""

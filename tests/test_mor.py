@@ -191,3 +191,93 @@ def test_expire_snapshots_gc(spark, tmp_base):
     # every kept snapshot still fully readable
     for sid in t.snapshots():
         t.read(sid).count()
+
+
+def test_expire_never_deletes_inflight_staging(spark, tmp_base):
+    """expire_snapshots racing a same-process concurrent merge must never
+    delete the merge's staged-but-uncommitted files (ADVICE r2): staged
+    files are young orphans, protected by the grace window; expired
+    files are only those a REMOVED snapshot referenced. The writer
+    thread's commits must all survive a GC loop running throughout."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.sources.icebox import IceboxTable
+
+    root = os.path.join(tmp_base, "gcrace")
+    t = IceboxTable.create(
+        spark, root, "repo string, path string, v bigint", ["repo", "path"],
+        num_buckets=4, seq_col="v", write_mode="mor",
+    )
+    errs = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            h = IceboxTable(spark, root)
+            for i in range(5):
+                h.refresh()
+                ch = spark.range(30).select(
+                    F.concat(F.lit("r"), F.col("id") % 6).alias("repo"),
+                    F.col("id").cast("string").alias("path"),
+                    (F.col("id") + i * 1000).alias("v"),
+                    F.lit(False).alias("__deleted"),
+                )
+                h.merge(ch, compact_threshold=2)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+        finally:
+            done.set()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    gcs = 0
+    while not done.is_set():
+        t.refresh()
+        if t.snap is not None and t.snapshots():
+            t.expire_snapshots(keep_last=1)
+            gcs += 1
+    th.join()
+    assert not errs, errs
+    assert gcs > 0  # the race actually happened
+    t.refresh()
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    # last writer round (i=4) wins per key: v = id + 4000
+    assert got == {(f"r{k % 6}", str(k)): k + 4000 for k in range(30)}
+
+
+def test_expire_orphan_grace_window(spark, tmp_base):
+    """Files referenced by NO manifest (crashed-writer staging leftovers)
+    are deleted only past the mtime grace window; fresh orphans — an
+    in-flight merge's staging — survive."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.sources.icebox import IceboxTable
+
+    root = os.path.join(tmp_base, "gcorph")
+    t = IceboxTable.create(
+        spark, root, "repo string, path string, v bigint", ["repo", "path"],
+        num_buckets=4, seq_col="v", write_mode="mor",
+    )
+    t.merge(spark.createDataFrame(
+        [("a", "1", 1, False)], "repo string, path string, v bigint, __deleted boolean"
+    ))
+    stage = os.path.join(root, "data", "snap-99-deadbeef", "__bucket=0")
+    os.makedirs(stage)
+    old = os.path.join(stage, "part-old.parquet")
+    fresh = os.path.join(stage, "part-fresh.parquet")
+    for p in (old, fresh):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    past = _time.time() - 7200
+    os.utime(old, (past, past))
+    res = t.expire_snapshots(keep_last=10, orphan_grace_seconds=3600)
+    assert res["removed_orphans"] == 1
+    assert not os.path.exists(old) and os.path.exists(fresh)
+    # live data untouched
+    assert [r["v"] for r in t.read().collect()] == [1]
