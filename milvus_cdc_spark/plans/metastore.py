@@ -1,16 +1,26 @@
-"""Metastore: checkpoints, lineage, metrics, task state.
+"""Metastore: checkpoints, lineage, metrics, task state — behind a
+driver seam.
 
-The analog of the reference's etcd/MySQL meta stores behind
-``MetaStoreFactory`` (``/root/reference/server/store/etcd.go``,
-``mysql.go``) holding ``TaskInfo`` + ``TaskCollectionPosition``
-(``server/model/meta/task.go:29-116``).
+The analog of the reference's meta stores behind ``MetaStoreFactory``
+(``/root/reference/server/store/etcd.go``, ``mysql.go``) holding
+``TaskInfo`` + ``TaskCollectionPosition``
+(``server/model/meta/task.go:29-116``). Mirroring that factory,
+:class:`MetastoreBackend` fixes the SEMANTICS (checkpoint merge rules,
+frozen-when-dropped positions, audit-table schemas) while subclasses
+provide only raw storage primitives — swapping the JSON files for a DB
+(the etcd/MySQL analog) is a driver, not a rewrite of callers:
+
+- :class:`Metastore` — JSON files + atomic ``os.replace`` swaps and
+  O_APPEND JSONL audit logs (the default; right for a driver-side
+  single host),
+- :class:`InMemoryMetastore` — dict-backed (tests, ephemeral runs;
+  also the template for a real DB driver: ~10 primitive methods).
 
 These are tiny, driver-side, per-batch writes (one row per partition per
 batch) — putting them through Spark jobs would add two JVM round trips
 per batch for kilobytes of state. So, like the reference (which uses
-etcd, not Milvus itself), the metastore is plain JSON with atomic
-``os.replace`` swaps for state and O_APPEND JSONL for the audit tables.
-Accessors expose lineage/metrics back as DataFrames for querying.
+etcd, not Milvus itself), storage is driver-local; accessors expose
+lineage/metrics back as DataFrames for querying.
 
 Checkpoint invariant (the exactly-once contract, SURVEY.md §3.4):
 positions are written AFTER the data commit; a crash between commit and
@@ -21,6 +31,7 @@ mirroring ``server/store/meta_op.go:145-177``.
 
 from __future__ import annotations
 
+import abc
 import json
 import os
 import time
@@ -39,24 +50,47 @@ METRICS_SCHEMA = (
 )
 
 
-class Metastore:
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+class MetastoreBackend(abc.ABC):
+    """Storage seam: subclasses provide raw primitives; the checkpoint
+    merge semantics live HERE so no driver can drift from the
+    exactly-once contract."""
+
+    # ------------------------------------------------- raw primitives
+    @abc.abstractmethod
+    def _read_state(self, kind: str, key: str) -> dict[str, Any] | None:
+        """Latest stored object for (kind, key) or None. kind ∈
+        {"checkpoint", "task"}."""
+
+    @abc.abstractmethod
+    def _write_state(self, kind: str, key: str, state: dict[str, Any]) -> None:
+        """Atomically replace the object for (kind, key)."""
+
+    @abc.abstractmethod
+    def _delete_state(self, kind: str, key: str) -> None:
+        """Remove the object for (kind, key); missing is a no-op."""
+
+    @abc.abstractmethod
+    def _list_state(self, kind: str) -> list[dict[str, Any]]:
+        """All stored objects of one kind (stable order)."""
+
+    @abc.abstractmethod
+    def _append_rows(self, table: str, rows: list[dict[str, Any]]) -> None:
+        """Append rows to an audit table ("lineage" | "metrics")."""
+
+    @abc.abstractmethod
+    def _audit_rows(self, table: str) -> list[dict[str, Any]]:
+        """All rows of an audit table (drivers with a native scan path
+        may instead override lineage_df/metrics_df directly)."""
 
     # -------------------------------------------------------- checkpoints
-    def _ckpt_path(self, task_id: str) -> str:
-        return os.path.join(self.root, f"checkpoint-{task_id}.json")
-
     def load_checkpoint(self, task_id: str) -> dict[str, Any]:
         """{"batch_id": last applied, "global_offset": consumed-through seq,
         "positions": {partition_id: offset_end}, "dropped": bool} — the
         TaskCollectionPosition analog."""
-        p = self._ckpt_path(task_id)
-        if not os.path.exists(p):
+        state = self._read_state("checkpoint", task_id)
+        if state is None:
             return {"batch_id": -1, "global_offset": -1, "positions": {}, "dropped": False}
-        with open(p) as f:
-            return json.load(f)
+        return state
 
     def save_checkpoint(
         self,
@@ -79,23 +113,92 @@ class Metastore:
             "positions": merged,
             "dropped": dropped,
         }
-        tmp = self._ckpt_path(task_id) + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self._ckpt_path(task_id))
+        self._write_state("checkpoint", task_id, state)
 
     # ------------------------------------------------------ lineage/metrics
     def append_lineage(self, rows: list[dict[str, Any]]) -> None:
-        self._append("lineage.jsonl", rows)
+        self._append_rows("lineage", rows)
 
     def append_metrics(self, rows: list[dict[str, Any]]) -> None:
-        self._append("metrics.jsonl", rows)
+        self._append_rows("metrics", rows)
 
-    def _append(self, name: str, rows: list[dict[str, Any]]) -> None:
-        with open(os.path.join(self.root, name), "a") as f:
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self._audit_rows("lineage"), LINEAGE_SCHEMA)
+
+    def metrics_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self._audit_rows("metrics"), METRICS_SCHEMA)
+
+    # ------------------------------------------------------------- tasks
+    def save_task(self, task: dict[str, Any]) -> None:
+        self._write_state("task", task["task_id"], {**task, "updated_ts": time.time()})
+
+    def load_task(self, task_id: str) -> dict[str, Any] | None:
+        return self._read_state("task", task_id)
+
+    def list_tasks(self) -> list[dict[str, Any]]:
+        return self._list_state("task")
+
+    def delete_task(self, task_id: str) -> None:
+        self._delete_state("task", task_id)
+        self._delete_state("checkpoint", task_id)
+
+
+class Metastore(MetastoreBackend):
+    """JSON-file driver (the default): atomic ``os.replace`` swaps for
+    state objects, O_APPEND JSONL for the audit tables — crash-safe on a
+    single host with zero dependencies."""
+
+    _PREFIX = {"checkpoint": "checkpoint-", "task": "task-"}
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, kind: str, key: str) -> str:
+        return os.path.join(self.root, f"{self._PREFIX[kind]}{key}.json")
+
+    def _read_state(self, kind: str, key: str) -> dict[str, Any] | None:
+        p = self._path(kind, key)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_state(self, kind: str, key: str, state: dict[str, Any]) -> None:
+        p = self._path(kind, key)
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, p)
+
+    def _delete_state(self, kind: str, key: str) -> None:
+        p = self._path(kind, key)
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _list_state(self, kind: str) -> list[dict[str, Any]]:
+        prefix = self._PREFIX[kind]
+        out = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.startswith(prefix) and fn.endswith(".json"):
+                with open(os.path.join(self.root, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def _append_rows(self, table: str, rows: list[dict[str, Any]]) -> None:
+        with open(os.path.join(self.root, f"{table}.jsonl"), "a") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
+    def _audit_rows(self, table: str) -> list[dict[str, Any]]:
+        p = os.path.join(self.root, f"{table}.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    # audit tables can be large → read them with Spark's JSON scan
+    # (distributed, schema-pruned) instead of driver-side rows
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         return self._read_jsonl(spark, "lineage.jsonl", LINEAGE_SCHEMA)
 
@@ -108,33 +211,39 @@ class Metastore:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).json(p)
 
-    # ------------------------------------------------------------- tasks
-    def _task_path(self, task_id: str) -> str:
-        return os.path.join(self.root, f"task-{task_id}.json")
+    # kept for tests/tools that address checkpoint files directly
+    def _ckpt_path(self, task_id: str) -> str:
+        return self._path("checkpoint", task_id)
 
-    def save_task(self, task: dict[str, Any]) -> None:
-        tmp = self._task_path(task["task_id"]) + f".tmp-{uuid.uuid4().hex[:8]}"
-        task = {**task, "updated_ts": time.time()}
-        with open(tmp, "w") as f:
-            json.dump(task, f)
-        os.replace(tmp, self._task_path(task["task_id"]))
 
-    def load_task(self, task_id: str) -> dict[str, Any] | None:
-        p = self._task_path(task_id)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+#: alias making the driver role explicit at call sites that configure one
+JsonMetastore = Metastore
 
-    def list_tasks(self) -> list[dict[str, Any]]:
-        out = []
-        for fn in sorted(os.listdir(self.root)):
-            if fn.startswith("task-") and fn.endswith(".json"):
-                with open(os.path.join(self.root, fn)) as f:
-                    out.append(json.load(f))
-        return out
 
-    def delete_task(self, task_id: str) -> None:
-        for fn in (self._task_path(task_id), self._ckpt_path(task_id)):
-            if os.path.exists(fn):
-                os.remove(fn)
+class InMemoryMetastore(MetastoreBackend):
+    """Dict-backed driver: ephemeral runs and tests, and the 1:1
+    template for a DB-backed driver (each primitive maps to one
+    statement). NOT crash-safe — state dies with the process."""
+
+    def __init__(self):
+        self._state: dict[tuple[str, str], dict[str, Any]] = {}
+        self._audit: dict[str, list[dict[str, Any]]] = {"lineage": [], "metrics": []}
+
+    def _read_state(self, kind: str, key: str) -> dict[str, Any] | None:
+        v = self._state.get((kind, key))
+        return None if v is None else dict(v)
+
+    def _write_state(self, kind: str, key: str, state: dict[str, Any]) -> None:
+        self._state[(kind, key)] = dict(state)
+
+    def _delete_state(self, kind: str, key: str) -> None:
+        self._state.pop((kind, key), None)
+
+    def _list_state(self, kind: str) -> list[dict[str, Any]]:
+        return [dict(v) for (k, _), v in sorted(self._state.items()) if k == kind]
+
+    def _append_rows(self, table: str, rows: list[dict[str, Any]]) -> None:
+        self._audit[table].extend(dict(r) for r in rows)
+
+    def _audit_rows(self, table: str) -> list[dict[str, Any]]:
+        return list(self._audit[table])
