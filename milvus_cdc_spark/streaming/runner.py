@@ -43,6 +43,43 @@ class StreamingReplicator:
         self.log_path = log_path
         self.stream_checkpoint = stream_checkpoint
 
+    def _max_available_seq(self) -> int | None:
+        """Latest event_seq currently DISCOVERABLE in the log directory —
+        the lag baseline (the reference's headline gauge is exactly this
+        delta, ``milvus_cdc_replicate_tt``, server/metrics/metrics.go:109).
+        Read from parquet footer max-statistics: O(files) driver-side
+        metadata reads, no data scan — the same trick the batch path's
+        caller uses when it sets ``log_max_seq`` up front, but refreshed
+        per epoch because a tailed log GROWS while the stream runs."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        best: int | None = None
+        for dirpath, _dirs, fns in os.walk(self.log_path):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                except Exception:
+                    continue  # half-written file mid-discovery: skip
+                col = next(
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).name == "event_seq"
+                    ),
+                    None,
+                )
+                if col is None:
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(col).statistics
+                    if st is not None and st.has_min_max:
+                        best = st.max if best is None else max(best, st.max)
+        return best
+
     # ------------------------------------------------------------- epoch
     def _apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch body. DDL events split the epoch into ordered
@@ -56,6 +93,11 @@ class StreamingReplicator:
         if ckpt.get("dropped"):
             return  # drop_table already replayed: positions frozen
         table = job.table()
+        # lag parity with the batch path: metrics rows carry
+        # lag = (latest discovered seq) - (partition's applied seq)
+        discovered = self._max_available_seq()
+        if discovered is not None:
+            job.log_max_seq = discovered
 
         # Epoch fence, per (epoch, segment): Spark re-runs an epoch whose
         # stream commit crashed. Fencing on epoch alone would skip the

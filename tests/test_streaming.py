@@ -142,6 +142,14 @@ def test_streaming_emits_lineage_metrics_positions(spark, tmp_base):
         F.max("event_seq")
     ).collect()[0][0]
     assert max(int(v) for v in ckpt["positions"].values()) <= max_seq
+    # lag parity with the batch path: every metrics row carries a non-null
+    # lag = (latest seq discovered in the log dir) - (partition max seq),
+    # and the final segment's per-partition lag is exact
+    assert met.filter(F.col("lag_events").isNull()).count() == 0
+    last = met.orderBy(F.col("batch_id").desc()).first()
+    assert last["lag_events"] >= 0
+    expected_lag = max_seq - int(ckpt["positions"][str(last["partition_id"])])
+    assert last["lag_events"] == expected_lag
 
 
 def test_streaming_crash_mid_epoch_resumes_segments(spark, tmp_base):
