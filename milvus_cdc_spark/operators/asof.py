@@ -28,10 +28,13 @@ def asof_join(
     ``right_ts <= left_ts`` for the same key (inclusive match).
 
     Scale path — the tag/union/window trick: tag both sides, union them,
-    sort each key's timeline once, and carry the last-seen right payload
-    forward with ``last(..., ignorenulls=True)``. ONE shuffle on the key
-    (the window), zero join blowup; at equal timestamps the right row
-    sorts first (side 0 < 1), giving the inclusive <= semantics.
+    sort each key's timeline once, and carry the last-seen right ROW
+    (one struct: payload fields + its ts) forward with a single
+    ``last(..., ignorenulls=True)``, so every attached column comes from
+    the same matched row even when payload values are NULL. ONE shuffle
+    on the key (the window), zero join blowup; at equal timestamps the
+    right row sorts first (side 0 < 1), giving the inclusive <=
+    semantics.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate it
     otherwise; with duplicates the "latest" among equal timestamps is
@@ -57,15 +60,23 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_payload:
-        u = u.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-    u = u.withColumn(
-        "asof_ts",
-        F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w),
+    # Carry the matched right row as ONE struct (payload fields + its ts)
+    # through a single last(ignorenulls=True): all attached columns come
+    # from the SAME right row. Per-column last() would skip right rows
+    # whose value is NULL for one column but not another, stitching
+    # payload from different rows than asof_ts points at.
+    match = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(c + suffix).alias(c + suffix) for c in right_payload],
+            F.col("__ts").alias("__rts"),
+        ),
     )
-    out = u.filter(F.col("__side") == 1).drop("__side", "__ts")
+    u = u.withColumn("__match", F.last(match, ignorenulls=True).over(w))
+    for c in right_payload:
+        u = u.withColumn(c + suffix, F.col(f"__match.{c}{suffix}"))
+    u = u.withColumn("asof_ts", F.col("__match.__rts"))
+    out = u.filter(F.col("__side") == 1).drop("__side", "__ts", "__match")
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out

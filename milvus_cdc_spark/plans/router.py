@@ -8,12 +8,14 @@ Catalyst filter per table (the predicate pushes into the shared scan),
 no custom dispatch code.
 
 Routes must be disjoint for exactly-once bookkeeping to stay per-route.
-Literal scopes (no regex metacharacters) are validated eagerly at
-construction — ``rlike`` is an unanchored substring match, so two
-literal patterns overlap iff one contains the other; patterns that use
-regex metacharacters cannot be decided statically and remain the
-operator's responsibility, same as the reference's duplicate-collection
-guard (``server/cdc_impl.go:328-406``).
+The eager construction-time check is BEST-EFFORT: it rejects every pair
+it can PROVE overlaps, and only anchored-exact scopes (``^name$``) are
+fully decidable. For unanchored literal substrings, containment proves
+overlap, but non-containment does not prove disjointness ("foo" and
+"bar" both match repo "foo-bar") — anchor your scopes if you want the
+guarantee; free-form regex scopes remain the operator's responsibility,
+same as the reference's duplicate-collection guard
+(``server/cdc_impl.go:328-406``).
 
 Each route is a full ReplicateJob with its own checkpoint stream, so a
 lagging table never blocks the others — the main/solo dispatcher
@@ -68,27 +70,50 @@ class MultiTableRouter:
 
     @staticmethod
     def _check_literal_scope_overlap(routes: list[Route]) -> None:
-        """Eager disjointness check for LITERAL scopes. ``rlike`` is an
-        unanchored substring match, so two literal patterns overlap iff
-        one is a substring of the other ("*" = match-all = empty
-        substring). Patterns containing regex metacharacters cannot be
-        decided statically and stay the operator's responsibility."""
+        """Best-effort eager overlap check. Rejects every pair it can
+        PROVE overlaps; it does NOT prove the survivors disjoint.
+
+        Decidable classes (``rlike`` is an unanchored substring match):
+
+        - anchored-exact ``^name$`` vs anchored-exact: overlap iff the
+          names are equal — fully decidable, the scope style to use when
+          disjointness must be guaranteed;
+        - anchored-exact vs literal substring: overlap iff the substring
+          occurs in the exact name — also fully decidable;
+        - substring vs substring: CONTAINMENT proves overlap (every repo
+          matching the longer matches the shorter), but non-containment
+          proves nothing — "foo" and "bar" both match repo "foo-bar".
+          Such pairs pass the check and remain the operator's
+          responsibility (or anchor them).
+
+        Patterns with other regex metacharacters are not analyzed."""
         meta = set("\\^$+?{}[]|().*")
 
-        def literal(p: str) -> str | None:
+        def classify(p: str) -> tuple[str, str] | None:
             if p == "*":
-                return ""
+                return ("sub", "")
+            if p.startswith("^") and p.endswith("$"):
+                body = p[1:-1]
+                return ("exact", body) if not any(ch in meta for ch in body) else None
             body = p[:-2] if p.endswith(".*") else p
-            return None if any(ch in meta for ch in body) else body
+            return ("sub", body) if not any(ch in meta for ch in body) else None
 
-        lits = [(r, literal(r.repo_pattern)) for r in routes]
-        lits = [(r, s) for r, s in lits if s is not None]
-        for i, (ra, a) in enumerate(lits):
-            for rb, b in lits[i + 1:]:
-                if a in b or b in a:
+        lits = [(r, classify(r.repo_pattern)) for r in routes]
+        lits = [(r, c) for r, c in lits if c is not None]
+        for i, (ra, (ka, a)) in enumerate(lits):
+            for rb, (kb, b) in lits[i + 1:]:
+                if ka == "exact" and kb == "exact":
+                    clash = a == b
+                elif ka == "exact":
+                    clash = b in a  # substring b matches exact name a?
+                elif kb == "exact":
+                    clash = a in b
+                else:
+                    clash = a in b or b in a
+                if clash:
                     raise ValueError(
                         f"routes {ra.name!r} and {rb.name!r} have overlapping "
-                        f"literal scopes ({ra.repo_pattern!r}, {rb.repo_pattern!r}): "
+                        f"scopes ({ra.repo_pattern!r}, {rb.repo_pattern!r}): "
                         "events would double-apply to both tables"
                     )
 

@@ -219,3 +219,28 @@ def test_asof_join_ignores_null_right_ts(spark):
     assert len(rows) == 1
     assert rows[0]["pvalue_asof"] is None and rows[0]["asof_ts"] is None
     assert asof_join(left, right, ["user_id"], "ts", "ts", ["pvalue"]).count() == 0
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """All attached columns must come from the SAME matched right row: a
+    matched row with a NULL value in one payload column attaches that
+    null — not an older row's non-null value for that column (which
+    would pair payload and asof_ts from different rows)."""
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 20)], "event_id long, user_id long, t long")
+    left = left.withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    right = spark.createDataFrame(
+        [(100, 10, 7.0, "a"), (100, 15, None, "b")],
+        "user_id long, t long, pvalue double, tag string",
+    )
+    right = right.withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    (row,) = asof_join(
+        left, right, ["user_id"], "ts", "ts", ["pvalue", "tag"]
+    ).collect()
+    # matched row is t=15 (latest <= 20): tag 'b' AND its null pvalue
+    assert row["tag_asof"] == "b"
+    assert row["pvalue_asof"] is None
+    assert int(row["asof_ts"].timestamp()) == 15

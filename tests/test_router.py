@@ -162,3 +162,33 @@ def test_router_star_pattern_not_misread_as_literal(spark, tmp_base):
         [Route("a", os.path.join(tmp_base, "t2a"), "org1*"),
          Route("b", os.path.join(tmp_base, "t2b"), "org1")],
     )
+
+
+def test_anchored_exact_scopes_fully_decidable(spark, tmp_base):
+    """Anchored-exact scopes are the decidable class: equal names clash,
+    different names pass even when one contains the other as a substring
+    (unanchored, those WOULD be rejected)."""
+    import pytest
+
+    from milvus_cdc_spark.plans.metastore import Metastore
+    from milvus_cdc_spark.plans.router import MultiTableRouter, Route
+
+    ms = Metastore(os.path.join(tmp_base, "meta_anchor"))
+
+    def mk(routes):
+        return MultiTableRouter(
+            spark, None, ms,
+            [Route(f"r{i}", os.path.join(tmp_base, f"t_anchor{i}"), p)
+             for i, p in enumerate(routes)],
+        )
+
+    # exact vs exact, different names — OK even with substring relation
+    mk(["^org1/repo5$", "^org1/repo55$"])
+    # exact vs exact, equal — clash
+    with pytest.raises(ValueError, match="overlapping"):
+        mk(["^org1/repo5$", "^org1/repo5$"])
+    # exact vs substring occurring in the exact name — clash
+    with pytest.raises(ValueError, match="overlapping"):
+        mk(["^org1/repo5$", "repo5"])
+    # exact vs substring NOT occurring in it — OK (decidable disjoint)
+    mk(["^org1/repo5$", "org2/"])
