@@ -30,6 +30,7 @@ from milvus_cdc_spark.operators.dedup_text import (
 from milvus_cdc_spark.operators.multimodal import extract_features, to_media
 from milvus_cdc_spark.operators.similarity import (
     ann_lsh_topk,
+    auto_planes,
     cosine_topk,
     make_planes,
     pairwise_cosine_neardup,
@@ -45,9 +46,31 @@ from milvus_cdc_spark.operators.text import (
 
 N_PARTITIONS = 8  # synthetic partition count for the events table
 QUERY_K = 10
-PLANES = make_planes(64, 8, seed=42)        # table 0 (also the ann probe set)
-PLANES_T1 = make_planes(64, 8, seed=43)     # near-dup LSH table 1
 QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+
+# LSH plane counts are DERIVED from the corpus size (the auto_planes
+# sizing rule — buckets must shrink as the corpus grows or the bucketed
+# self-join degenerates). The production default targets ~100k rows per
+# bucket; the tiny test corpora use a 64-row target so the bucketing
+# machinery is actually exercised at test scale (sf0.01: 500 vectors →
+# 3 planes / 8 buckets; sf0.1: 2000 → 5 planes / 32 buckets).
+ANN_TARGET_BUCKET_ROWS = 64
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _embedding_count(sf_dir: str) -> int:
+    """Corpus count from the parquet footer (metadata read, no scan)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def _ann_planes_for(sf_dir: str) -> int:
+    try:
+        n = _embedding_count(sf_dir)
+    except Exception:
+        n = 500  # the generator's smallest corpus
+    return auto_planes(n, target_bucket_rows=ANN_TARGET_BUCKET_ROWS)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -416,16 +439,18 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Plane count derived from the corpus (auto_planes) so the sizing
+    rule protects the DEFAULT path, not just callers who remember it."""
     return ann_lsh_topk(
         _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=QUERY_K,
-        n_planes=8, seed=42, probe_hamming=1,
+        n_planes=_ann_planes_for(sf_dir), seed=42, probe_hamming=1,
     )
 
 
 def q_embedding_neardup(spark, sf_dir):
     return pairwise_cosine_neardup(
         _t(spark, sf_dir, "embeddings"), threshold=0.3,
-        n_planes=8, seed=42, n_tables=2,
+        n_planes=_ann_planes_for(sf_dir), seed=42, n_tables=2,
     )
 
 
@@ -514,12 +539,18 @@ def _qvec_sql() -> str:
     return "[" + ",".join(f"{x!r}" for x in QUERY_VEC) + "]::DOUBLE[]"
 
 
-def _probe_list_sql() -> str:
+def _oracle_planes(seed: int) -> list[list[float]]:
+    """The plane set the oracle must mirror: derived for the CORRECTNESS
+    scale factor's corpus, same auto_planes rule as queries()."""
+    return make_planes(64, _ann_planes_for(ORACLE_SF_DIR), seed=seed)
+
+
+def _probe_list_sql(planes) -> str:
     """Multi-probe bucket set (query bucket + Hamming-1 neighbors),
     computed driver-side — mirrors similarity.probe_buckets exactly."""
     from milvus_cdc_spark.operators.similarity import probe_buckets
 
-    return ", ".join(str(b) for b in probe_buckets(QUERY_VEC, PLANES, hamming=1))
+    return ", ".join(str(b) for b in probe_buckets(QUERY_VEC, planes, hamming=1))
 
 
 _SHINGLES = """
@@ -578,6 +609,8 @@ CJK_LO, CJK_HI = "\u4e00", "\u9fff"
 
 
 def oracle_sql() -> dict[str, str]:
+    planes = _oracle_planes(42)       # ann probe set + near-dup table 0
+    planes_t1 = _oracle_planes(43)    # near-dup LSH table 1
     stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
     lang_hits = {
         lang: (
@@ -876,7 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"""
             WITH bucketed AS (
               SELECT vec_id, embedding,
-                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket
+                     {_planes_sql("embedding::DOUBLE[]", planes)} AS bucket
               FROM embeddings)
             SELECT vec_id,
                    round(list_dot_product(embedding::DOUBLE[], {_qvec_sql()})
@@ -885,14 +918,14 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product({_qvec_sql()}, {_qvec_sql()}))),
                          6) AS cosine
             FROM bucketed
-            WHERE bucket IN ({_probe_list_sql()})
+            WHERE bucket IN ({_probe_list_sql(planes)})
             ORDER BY cosine DESC, vec_id LIMIT {QUERY_K}
         """,
         "embedding_neardup": f"""
             WITH b AS (
               SELECT vec_id, embedding,
-                     {_planes_sql("embedding::DOUBLE[]", PLANES)} AS bucket0,
-                     {_planes_sql("embedding::DOUBLE[]", PLANES_T1)} AS bucket1
+                     {_planes_sql("embedding::DOUBLE[]", planes)} AS bucket0,
+                     {_planes_sql("embedding::DOUBLE[]", planes_t1)} AS bucket1
               FROM embeddings),
             pairs AS (
               SELECT a.vec_id AS id_a, c.vec_id AS id_b,
