@@ -329,7 +329,10 @@ def q_cdc_rollup_hourly(spark, sf_dir):
         table_root=f"{work}/tbl",
         metastore=Metastore(f"{work}/meta"),
         batch_size=max((int(max_id) + 1) // 2, 1),
-        num_buckets=8,
+        # timehash:day placement already yields one bucket per DAY; at
+        # ~3k rollup rows/day one file-sized sub-bucket is right (scale
+        # deployments raise this to keep day-buckets file-sized)
+        num_buckets=1,
     )
     job.run(until_seq=int(max_id))
     return job.table().read().select("window_start", "user_id", "n_events", "sum_cents")

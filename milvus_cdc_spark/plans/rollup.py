@@ -97,53 +97,78 @@ class RollupJob:
         # NEVER be folded again (double-add corrupts silently)
         if int(table.properties.get("batch_id", -1)) >= batch_id:
             return 0
-        # partials are O(touched windows) — small enough to cache for
-        # their two uses (affected-bucket discovery + the totals join)
-        # instead of re-executing the batch aggregation
-        partials = self._partials(lo, hi).persist()
-        # read CURRENT totals for the touched buckets only. Under the
-        # table's timehash:day placement the touched bucket ids encode
-        # the batch's own DAYS — old days' totals are never re-read, so
-        # the per-batch read is O(batch window), not O(table age). The
-        # bucket-id collect is ≤ (days touched × sub-buckets) ints.
+        partials = self._partials(lo, hi)
+        # Affected buckets under timehash:day placement = the batch's DAY
+        # range × sub-buckets. The range comes from ONE shuffle-free
+        # min/max agg over the batch's window starts (two scalars to the
+        # driver) — cheaper than a distinct+collect of bucket ids and it
+        # frees partials from being cached for two uses. A day inside the
+        # range with no events is rewritten as a carry-over (harmless);
+        # a pathological range (one corrupt far-past timestamp) falls
+        # back to the exact distinct so the rewrite stays bounded.
         from milvus_cdc_spark.functions.hashing import placement_expr
 
         snap = table.snap
-        affected = sorted(
-            r[0]
-            for r in partials.select(
-                placement_expr(snap.bucket_formula, KEYS, snap.num_buckets).alias("b")
-            ).distinct().collect()
+        sub = snap.num_buckets
+        win_day = F.datediff(
+            F.window("ts", self.bucket).getField("start").cast("date"),
+            F.lit("1970-01-01").cast("date"),
         )
+        ev = self.spark.read.parquet(self.events_path).filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        )
+        d0, d1 = ev.agg(F.min(win_day), F.max(win_day)).collect()[0]
+        if d0 is None:
+            self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
+            return 0  # empty batch
+        if (d1 - d0 + 1) * sub > 16_384:
+            affected = sorted(
+                r[0]
+                for r in partials.select(
+                    placement_expr(snap.bucket_formula, KEYS, sub).alias("b")
+                ).distinct().collect()
+            )
+        else:
+            affected = [d * sub + s for d in range(int(d0), int(d1) + 1) for s in range(sub)]
         current = table.read_buckets(snap, affected).select(
             *KEYS,
             F.col("n_events").alias("cur_n"),
             F.col("sum_cents").alias("cur_sum"),
+            F.col("last_batch").alias("cur_batch"),
         )
+        # FULL outer join: touched keys get partials added; the affected
+        # buckets' UNtouched keys (same day, other users/windows) carry
+        # over unchanged. The result is the complete post-image of the
+        # affected buckets, so the merge can skip re-reading them and the
+        # winner-resolution shuffle (merge complete=True) — one join is
+        # the batch's only shuffle over existing totals.
+        touched = F.col("n_events").isNotNull()
         new_totals = (
-            partials.join(current, KEYS, "left")
+            partials.join(current, KEYS, "full_outer")
             .select(
                 *KEYS,
-                (F.col("n_events") + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_events"),
-                (F.col("sum_cents") + F.coalesce(F.col("cur_sum"), F.lit(0))).alias("sum_cents"),
-                F.lit(batch_id).cast("bigint").alias("last_batch"),
+                (F.coalesce(F.col("n_events"), F.lit(0))
+                 + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_events"),
+                (F.coalesce(F.col("sum_cents"), F.lit(0))
+                 + F.coalesce(F.col("cur_sum"), F.lit(0))).alias("sum_cents"),
+                F.when(touched, F.lit(batch_id).cast("bigint"))
+                .otherwise(F.col("cur_batch")).alias("last_batch"),
                 F.lit(False).alias("__deleted"),
             )
         )
-        try:
-            snapshot_id = table.merge(
-                new_totals,
-                # buckets already known from the partials — the merge
-                # skips its discovery staging write (one write per batch)
-                affected_buckets=affected,
-                properties={
-                    "task_id": self.task_id,
-                    "batch_id": batch_id,
-                    "offset_end": hi,
-                },
-            )
-        finally:
-            partials.unpersist()
+        snapshot_id = table.merge(
+            new_totals,
+            # buckets known up front — the merge skips its discovery
+            # staging write; with the complete post-image it reads and
+            # shuffles nothing of its own (ONE write job per batch)
+            affected_buckets=affected,
+            complete=True,
+            properties={
+                "task_id": self.task_id,
+                "batch_id": batch_id,
+                "offset_end": hi,
+            },
+        )
         self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
         return snapshot_id
 

@@ -304,6 +304,7 @@ class IceboxTable:
         compact_threshold: int = 8,
         changes_partitioned: bool = False,
         affected_buckets: list[int] | None = None,
+        complete: bool = False,
     ) -> int:
         """MERGE INTO: upsert-or-delete ``changes`` by the table's key.
 
@@ -333,6 +334,16 @@ class IceboxTable:
           winners by seq; buckets whose delta-file count exceeds
           ``compact_threshold`` are compacted (resolved → rewritten as
           base) inside the same commit, bounding read amplification.
+
+        ``complete=True`` (CoW + ``affected_buckets`` only): the caller
+        asserts ``changes`` is the COMPLETE post-image of the affected
+        buckets — every surviving row, one row per key. The merge then
+        skips its own read of the old buckets and the winner-resolution
+        shuffle and just stages the rows (still delete-filtered and
+        stray-bucket-validated). Right for read-modify-write callers
+        (the rollup) that already joined old state in: without it the
+        affected buckets are read twice and shuffled once more per
+        batch for no information gain.
 
         Returns the new snapshot id.
         """
@@ -432,32 +443,43 @@ class IceboxTable:
                 staged_changes = self.spark.read.schema(chg_schema).parquet(
                     *[p for _, p in staged_chg]
                 )
-            old = self.read_buckets(snap, affected)
-            data_cols = [f.name for f in target_schema.fields]
-            tagged_old = old.select(
-                *[F.col(c) for c in data_cols],
-                F.lit(False).alias(delete_col),
-                F.lit(0).alias("__src"),
-            )
-            tagged_new = staged_changes.withColumn("__src", F.lit(1))
-            both = tagged_old.unionByName(tagged_new)
-            payload_cols = [c for c in data_cols if c not in keys] + [delete_col]
-            payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
-            if snap.seq_col:
-                priority = F.struct(
-                    F.col(snap.seq_col).alias("s"), F.col("__src").alias("c")
+            if complete:
+                # caller-supplied post-image: no old read, no winner
+                # shuffle — the rows ARE the new bucket contents
+                if affected_buckets is None:
+                    raise ValueError("complete=True requires affected_buckets")
+                new_data = (
+                    staged_changes.filter(~F.col(delete_col))
+                    .drop(delete_col)
+                    .withColumn(_BUCKET_COL, bucket)
                 )
             else:
-                priority = F.struct(F.col("__src").alias("c"))
-            winners = both.groupBy(*keys).agg(F.max_by(payload, priority).alias("__w"))
-            new_data = (
-                winners.select(
-                    *keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+                old = self.read_buckets(snap, affected)
+                data_cols = [f.name for f in target_schema.fields]
+                tagged_old = old.select(
+                    *[F.col(c) for c in data_cols],
+                    F.lit(False).alias(delete_col),
+                    F.lit(0).alias("__src"),
                 )
-                .filter(~F.col(delete_col))
-                .drop(delete_col)
-                .withColumn(_BUCKET_COL, bucket)
-            )
+                tagged_new = staged_changes.withColumn("__src", F.lit(1))
+                both = tagged_old.unionByName(tagged_new)
+                payload_cols = [c for c in data_cols if c not in keys] + [delete_col]
+                payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+                if snap.seq_col:
+                    priority = F.struct(
+                        F.col(snap.seq_col).alias("s"), F.col("__src").alias("c")
+                    )
+                else:
+                    priority = F.struct(F.col("__src").alias("c"))
+                winners = both.groupBy(*keys).agg(F.max_by(payload, priority).alias("__w"))
+                new_data = (
+                    winners.select(
+                        *keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+                    )
+                    .filter(~F.col(delete_col))
+                    .drop(delete_col)
+                    .withColumn(_BUCKET_COL, bucket)
+                )
             (
                 new_data.repartition(max(len(affected), 1), F.col(_BUCKET_COL))
                 .write.partitionBy(_BUCKET_COL)

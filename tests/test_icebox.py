@@ -335,3 +335,30 @@ def test_merge_rejects_stray_affected_buckets(spark, tmp_base):
         )
     t.refresh()
     assert {(r["repo"], r["path"]): r["v"] for r in t.read().collect()} == before
+
+
+def test_merge_complete_post_image_replaces_buckets(spark, tmp_base):
+    """merge(complete=True, affected_buckets=...) treats changes as the
+    full post-image of the affected buckets: present keys are the new
+    contents (no winner resolution against old rows), omitted keys in
+    those buckets are gone, and UNaffected buckets are untouched."""
+    t = _mk(spark, tmp_base, "cmp")
+    t.merge(_changes(spark, [("a", "1", 1, False), ("b", "2", 2, False)]))
+    b_a = _bucket_of(spark, "a", "1", 8)
+    b_b = _bucket_of(spark, "b", "2", 8)
+    assert b_a != b_b
+    # post-image for a's bucket: a with a LOWER seq than the old row —
+    # still wins (no seq resolution: the caller's image is the truth)
+    t.merge(
+        _changes(spark, [("a", "1", 0, False)]),
+        affected_buckets=[b_a], complete=True,
+    )
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", "1"): 0, ("b", "2"): 2}
+    # empty post-image empties the bucket; b untouched
+    t.merge(
+        _changes(spark, [("a", "1", 9, True)]),  # delete marker filtered out
+        affected_buckets=[b_a], complete=True,
+    )
+    got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
+    assert got == {("b", "2"): 2}

@@ -130,9 +130,10 @@ def test_rollup_per_batch_read_is_time_pruned(spark, tmp_base, monkeypatch):
 
     monkeypatch.setattr(IceboxTable, "read_buckets", spy)
     job.run(until_seq=4999)
-    # two pruned reads per batch: the rollup's own totals read + the CoW
-    # merge's internal read of the same affected buckets
-    assert len(reads) == 10
+    # ONE pruned read per batch: the rollup reads current totals once and
+    # hands the merge a complete post-image (merge complete=True reads
+    # nothing itself)
+    assert len(reads) == 5
     # day partitioning above the hash: bucket ids encode the batch's days
     days = [sorted({b // job.num_buckets for b in r["buckets"]}) for r in reads]
     # the last batch must not touch the first batch's days (time moved on)
