@@ -86,7 +86,9 @@ def bucket_expr(key_cols: list, num_buckets: int) -> Column:
     return F.pmod(F.hash(*cols), F.lit(num_buckets)).cast(IntegerType())
 
 
-def placement_expr(formula: str, key_cols: list, num_buckets: int) -> Column:
+def placement_expr(
+    formula: str, key_cols: list, num_buckets: int, time_type: str | None = None
+) -> Column:
     """Bucket id for a row under the table's manifest-recorded placement
     formula. ALL icebox write paths derive bucket ids through this one
     dispatcher (see :func:`bucket_expr` for why exactly one formula may
@@ -109,24 +111,63 @@ def placement_expr(formula: str, key_cols: list, num_buckets: int) -> Column:
       those units' buckets, so per-batch read-modify-write cost stays
       O(batch window), never O(table age) — the property a continuous
       rollup needs at 10^10 events (VERDICT r2 #1).
+
+    ``time_type`` is the Spark ``simpleString`` of the leading key's type
+    (``"timestamp"`` | ``"timestamp_ntz"`` | ``"date"``; only consulted
+    by timehash). Placement must be SESSION-INDEPENDENT — two sessions
+    with different ``spark.sql.session.timeZone`` must compute the same
+    bucket for the same row, or one table merged from both duplicates
+    keys and misses deletes. For instant-typed (``timestamp``) keys the
+    coarse unit is therefore derived from the UTC epoch value with pure
+    integer/date arithmetic, never via ``cast('date')``/``year()`` (which
+    render in the session zone); ``date``/``timestamp_ntz`` keys carry
+    zone-free calendar fields already. ``None`` (callers that don't know
+    the type) is treated as ``timestamp`` — the conservative choice,
+    tz-safe for instants.
+
+    A NULL leading time key has no placement (it would land in a
+    ``__HIVE_DEFAULT_PARTITION__`` dir no reader of this layout can
+    resolve), so the returned expression raises a descriptive error on
+    the first such row instead of staging a poison-pill file.
     """
     if formula == "murmur3":
         return bucket_expr(key_cols, num_buckets)
     if formula.startswith("timehash:"):
         unit = formula.split(":", 1)[1]
+        if unit not in ("day", "month"):
+            raise ValueError(f"unknown timehash granularity {unit!r}")
         cols = [c if isinstance(c, Column) else F.col(c) for c in key_cols]
         t0 = cols[0]
-        if unit == "day":
-            coarse = F.datediff(t0.cast("date"), F.lit("1970-01-01").cast("date"))
-        elif unit == "month":
-            coarse = (F.year(t0) - F.lit(1970)) * F.lit(12) + (F.month(t0) - F.lit(1))
+        if time_type in (None, "timestamp"):
+            # instant → UTC epoch seconds (session-tz-independent), then
+            # pure integer/date arithmetic for the civil unit
+            days = F.floor(t0.cast("double") / F.lit(86400.0)).cast("int")
+            if unit == "day":
+                coarse = days.cast("long")
+            else:
+                d = F.date_add(F.lit("1970-01-01").cast("date"), days)
+                coarse = ((F.year(d) - F.lit(1970)) * F.lit(12)
+                          + (F.month(d) - F.lit(1))).cast("long")
         else:
-            raise ValueError(f"unknown timehash granularity {unit!r}")
+            # date / timestamp_ntz: calendar fields are zone-free by type
+            d = t0.cast("date")
+            if unit == "day":
+                coarse = F.datediff(d, F.lit("1970-01-01").cast("date")).cast("long")
+            else:
+                coarse = ((F.year(d) - F.lit(1970)) * F.lit(12)
+                          + (F.month(d) - F.lit(1))).cast("long")
         if len(cols) > 1:
             sub = F.pmod(F.hash(*cols[1:]), F.lit(num_buckets))
         else:
             sub = F.lit(0)
-        return (coarse.cast("long") * F.lit(num_buckets) + sub).cast("long")
+        placed = (coarse * F.lit(num_buckets) + sub).cast("long")
+        return F.when(t0.isNotNull(), placed).otherwise(
+            F.raise_error(F.lit(
+                "timehash placement: NULL leading time key — a null-ts row "
+                "has no bucket; fix or filter the producer (refusing to "
+                "stage an unresolvable __HIVE_DEFAULT_PARTITION__ file)"
+            ))
+        )
     raise ValueError(
         f"unknown bucket formula {formula!r}; this writer speaks "
         "'murmur3' and 'timehash:<day|month>' — refusing to mis-place keys"

@@ -97,78 +97,99 @@ class RollupJob:
         # NEVER be folded again (double-add corrupts silently)
         if int(table.properties.get("batch_id", -1)) >= batch_id:
             return 0
-        partials = self._partials(lo, hi)
-        # Affected buckets under timehash:day placement = the batch's DAY
-        # range × sub-buckets. The range comes from ONE shuffle-free
-        # min/max agg over the batch's window starts (two scalars to the
-        # driver) — cheaper than a distinct+collect of bucket ids and it
-        # frees partials from being cached for two uses. A day inside the
-        # range with no events is rewritten as a carry-over (harmless);
-        # a pathological range (one corrupt far-past timestamp) falls
-        # back to the exact distinct so the rewrite stays bounded.
-        from milvus_cdc_spark.functions.hashing import placement_expr
+        # Partials are used twice (day-bounds scalar agg, then the totals
+        # join), so they are cached — the EVENTS batch range is scanned
+        # exactly once per apply_batch. The cache is O(groups in batch),
+        # bounded by batch size.
+        partials = self._partials(lo, hi).persist()
+        try:
+            # Affected buckets under timehash:day placement = the batch's
+            # DAY range × sub-buckets, from one min/max agg over the
+            # cached partials (two scalars to the driver). The day MUST be
+            # computed the way the placement formula computes it — UTC
+            # epoch arithmetic, not cast('date'), which renders in the
+            # session zone (functions/hashing.py:placement_expr). A day
+            # inside the range with no events is rewritten as a carry-over
+            # (harmless); a pathological range (one corrupt far-past
+            # timestamp) falls back to the exact distinct so the rewrite
+            # stays bounded.
+            from milvus_cdc_spark.functions.hashing import placement_expr
 
-        snap = table.snap
-        sub = snap.num_buckets
-        win_day = F.datediff(
-            F.window("ts", self.bucket).getField("start").cast("date"),
-            F.lit("1970-01-01").cast("date"),
-        )
-        ev = self.spark.read.parquet(self.events_path).filter(
-            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
-        )
-        d0, d1 = ev.agg(F.min(win_day), F.max(win_day)).collect()[0]
-        if d0 is None:
-            self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
-            return 0  # empty batch
-        if (d1 - d0 + 1) * sub > 16_384:
-            affected = sorted(
-                r[0]
-                for r in partials.select(
-                    placement_expr(snap.bucket_formula, KEYS, sub).alias("b")
-                ).distinct().collect()
-            )
-        else:
-            affected = [d * sub + s for d in range(int(d0), int(d1) + 1) for s in range(sub)]
-        current = table.read_buckets(snap, affected).select(
-            *KEYS,
-            F.col("n_events").alias("cur_n"),
-            F.col("sum_cents").alias("cur_sum"),
-            F.col("last_batch").alias("cur_batch"),
-        )
-        # FULL outer join: touched keys get partials added; the affected
-        # buckets' UNtouched keys (same day, other users/windows) carry
-        # over unchanged. The result is the complete post-image of the
-        # affected buckets, so the merge can skip re-reading them and the
-        # winner-resolution shuffle (merge complete=True) — one join is
-        # the batch's only shuffle over existing totals.
-        touched = F.col("n_events").isNotNull()
-        new_totals = (
-            partials.join(current, KEYS, "full_outer")
-            .select(
+            snap = table.snap
+            sub = snap.num_buckets
+            # cast through TIMESTAMP first: the events' ts (and hence the
+            # partials' window_start) may be timestamp_ntz, and the merge
+            # will cast it to the table's timestamp leading key before
+            # placing — computing the day on the same casted value keeps
+            # the bounds and the placement in lock-step under any session
+            # timezone (and ntz has no direct cast to double anyway)
+            win_day = F.floor(
+                F.col("window_start").cast("timestamp").cast("double")
+                / F.lit(86400.0)
+            ).cast("int")
+            d0, d1 = partials.agg(F.min(win_day), F.max(win_day)).collect()[0]
+            if d0 is None:
+                self.metastore.save_checkpoint(
+                    self.task_id, batch_id, {}, global_offset=hi
+                )
+                return 0  # empty batch
+            if (d1 - d0 + 1) * sub > 16_384:
+                affected = sorted(
+                    r[0]
+                    for r in partials.select(
+                        # window_start is an instant (timestamp) —
+                        # placement_expr's default time_type
+                        placement_expr(snap.bucket_formula, KEYS, sub).alias("b")
+                    ).distinct().collect()
+                )
+            else:
+                affected = [
+                    d * sub + s
+                    for d in range(int(d0), int(d1) + 1)
+                    for s in range(sub)
+                ]
+            current = table.read_buckets(snap, affected).select(
                 *KEYS,
-                (F.coalesce(F.col("n_events"), F.lit(0))
-                 + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_events"),
-                (F.coalesce(F.col("sum_cents"), F.lit(0))
-                 + F.coalesce(F.col("cur_sum"), F.lit(0))).alias("sum_cents"),
-                F.when(touched, F.lit(batch_id).cast("bigint"))
-                .otherwise(F.col("cur_batch")).alias("last_batch"),
-                F.lit(False).alias("__deleted"),
+                F.col("n_events").alias("cur_n"),
+                F.col("sum_cents").alias("cur_sum"),
+                F.col("last_batch").alias("cur_batch"),
             )
-        )
-        snapshot_id = table.merge(
-            new_totals,
-            # buckets known up front — the merge skips its discovery
-            # staging write; with the complete post-image it reads and
-            # shuffles nothing of its own (ONE write job per batch)
-            affected_buckets=affected,
-            complete=True,
-            properties={
-                "task_id": self.task_id,
-                "batch_id": batch_id,
-                "offset_end": hi,
-            },
-        )
+            # FULL outer join: touched keys get partials added; the
+            # affected buckets' UNtouched keys (same day, other users/
+            # windows) carry over unchanged. The result is the complete
+            # post-image of the affected buckets, so the merge can skip
+            # re-reading them and the winner-resolution shuffle (merge
+            # complete=True) — one join is the batch's only shuffle over
+            # existing totals.
+            touched = F.col("n_events").isNotNull()
+            new_totals = (
+                partials.join(current, KEYS, "full_outer")
+                .select(
+                    *KEYS,
+                    (F.coalesce(F.col("n_events"), F.lit(0))
+                     + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_events"),
+                    (F.coalesce(F.col("sum_cents"), F.lit(0))
+                     + F.coalesce(F.col("cur_sum"), F.lit(0))).alias("sum_cents"),
+                    F.when(touched, F.lit(batch_id).cast("bigint"))
+                    .otherwise(F.col("cur_batch")).alias("last_batch"),
+                    F.lit(False).alias("__deleted"),
+                )
+            )
+            snapshot_id = table.merge(
+                new_totals,
+                # buckets known up front — the merge skips its discovery
+                # staging write; with the complete post-image it reads and
+                # shuffles nothing of its own (ONE write job per batch)
+                affected_buckets=affected,
+                complete=True,
+                properties={
+                    "task_id": self.task_id,
+                    "batch_id": batch_id,
+                    "offset_end": hi,
+                },
+            )
+        finally:
+            partials.unpersist()
         self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
         return snapshot_id
 

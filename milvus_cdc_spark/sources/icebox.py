@@ -23,10 +23,13 @@ stand-in with the four Iceberg properties the north rule depends on:
    rewrites ~1% of the table — the same file-pruning story Iceberg's
    merge-on-read/copy-on-write gives.
 
-Single-writer-per-table is assumed, matching the reference's
-duplicate-task guard (``server/cdc_impl.go:328-406``); an optimistic
-pointer check turns a lost race into ``CommitConflictError`` instead of
-corruption.
+One replicate task per table is the intended topology, matching the
+reference's duplicate-task guard (``server/cdc_impl.go:328-406``) — but
+commits themselves are safe under concurrency: an optimistic pointer
+check turns a lost race into ``CommitConflictError`` (retried with a
+rebuild against the winner), and the commit critical section holds a
+per-table thread mutex plus a cross-process ``fcntl.flock`` so racing
+writers in separate processes serialize instead of corrupting.
 
 Layout::
 
@@ -38,11 +41,13 @@ Layout::
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -352,9 +357,18 @@ class IceboxTable:
         keys = snap.key_cols
         target_schema = snap.schema()
 
+        if complete and snap.write_mode != "cow":
+            # MoR merges append deltas + seq resolution; treating the rows
+            # as a post-image would silently keep omitted keys alive and
+            # let lower-seq rows lose — refuse instead of degrading.
+            raise ValueError(
+                "merge(complete=True) asserts post-image semantics, which "
+                f"only write_mode='cow' implements (table is {snap.write_mode!r})"
+            )
+
         # placement_expr raises on a formula this writer doesn't speak —
         # never silently mis-place keys
-        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
+        bucket = _placement(snap, keys, snap.num_buckets)
         changes = changes.withColumn(_BUCKET_COL, bucket)
         if snap.bucket_formula != "murmur3":
             # the partition-index==bucket-id identity below is a murmur3
@@ -614,7 +628,7 @@ class IceboxTable:
             return buckets
         keys = snap.key_cols
         seq = snap.seq_col
-        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
+        bucket = _placement(snap, keys, snap.num_buckets)
         staging = os.path.join(
             self.root, "data", f"compact-{new_id}-{uuid.uuid4().hex[:8]}"
         )
@@ -671,7 +685,7 @@ class IceboxTable:
         data = self.read()
         keys = snap.key_cols
         new_id = snap.snapshot_id + 1
-        bucket = placement_expr(snap.bucket_formula, keys, new_num_buckets)
+        bucket = _placement(snap, keys, new_num_buckets)
         staging = os.path.join(
             self.root, "data", f"rebucket-{new_id}-{uuid.uuid4().hex[:8]}"
         )
@@ -827,7 +841,7 @@ class IceboxTable:
         assert self.snap is not None
         snap = self.snap
         keys = snap.key_cols
-        bucket = placement_expr(snap.bucket_formula, keys, snap.num_buckets)
+        bucket = _placement(snap, keys, snap.num_buckets)
         new_id = snap.snapshot_id + 1
         staging = os.path.join(self.root, "data", f"snap-{new_id}-{uuid.uuid4().hex[:8]}")
         target_schema = snap.schema()
@@ -916,10 +930,12 @@ class IceboxTable:
         lock: ``v{id}.json`` is created EXCLUSIVELY (os.link, atomic on
         POSIX), so a losing writer can never clobber the winner's
         already-committed snapshot file — it gets CommitConflictError
-        before touching anything the pointer can reach. A per-table
-        in-process mutex serializes handles/threads of one driver (the
-        only concurrent-writer topology this driver-side format supports;
-        cross-process coordination is a catalog's job, as in Iceberg).
+        before touching anything the pointer can reach. ``_commit_lock``
+        serializes the write-and-swap across threads of one driver (a
+        per-table mutex) AND across processes (``fcntl.flock`` on
+        ``<root>/_lock``), so the orphan-replace branch of
+        ``_write_snapshot_exclusive`` can never interleave with a live
+        racer in another process.
         """
         with _commit_lock(self.root):
             expect = self.snap.snapshot_id if self.snap else None
@@ -930,13 +946,46 @@ class IceboxTable:
 
 # ---------------------------------------------------------------- helpers
 
+
+def _placement(snap: Snapshot, key_cols: list, num_buckets: int):
+    """The table's bucket expression with the leading key's TYPE resolved
+    from the current schema — timehash placement is computed differently
+    for instants (UTC epoch arithmetic) vs zone-free date/ntz calendar
+    fields, so every icebox write path must pass the type through
+    (``functions/hashing.py:placement_expr`` documents why)."""
+    tt = None
+    if snap.bucket_formula.startswith("timehash:"):
+        tt = snap.schema()[key_cols[0]].dataType.simpleString()
+    return placement_expr(snap.bucket_formula, key_cols, num_buckets, time_type=tt)
+
+
 _COMMIT_LOCKS: dict[str, threading.Lock] = {}
 _COMMIT_LOCKS_GUARD = threading.Lock()
 
 
-def _commit_lock(root: str) -> threading.Lock:
+@contextmanager
+def _commit_lock(root: str):
+    """Per-table commit mutex: an in-process ``threading.Lock`` (threads
+    of one driver) PLUS an ``fcntl.flock`` on ``<root>/_lock`` (writers in
+    other processes). The flock closes the cross-process window in
+    ``_write_snapshot_exclusive``'s orphan-replace branch: without it, two
+    processes racing the same snapshot id can interleave so the loser
+    reads the pointer before the winner swaps it and replaces the
+    winner's just-committed manifest (lost update). The lock file is a
+    separate stable inode — flocking ``_current`` itself would be wrong
+    because ``os.replace`` swaps its inode out from under the lock.
+    Advisory flock suffices: every writer goes through this function
+    (single-format discipline, as with Iceberg's catalog lock)."""
     with _COMMIT_LOCKS_GUARD:
-        return _COMMIT_LOCKS.setdefault(os.path.abspath(root), threading.Lock())
+        tlock = _COMMIT_LOCKS.setdefault(os.path.abspath(root), threading.Lock())
+    with tlock:
+        fd = os.open(os.path.join(root, "_lock"), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
 
 def _write_snapshot_exclusive(root: str, snap: Snapshot, expect: int | None) -> None:
@@ -950,8 +999,9 @@ def _write_snapshot_exclusive(root: str, snap: Snapshot, expect: int | None) -> 
         # A v{id}.json already exists. If the pointer still reads
         # `expect`, nobody committed it — it is an orphan of a writer
         # that crashed between snapshot write and pointer swap (the
-        # in-process lock rules out a live racer) — safe to replace.
-        # Otherwise a concurrent writer won the id: conflict.
+        # commit lock — thread mutex + cross-process flock — rules out a
+        # live racer) — safe to replace. Otherwise a concurrent writer
+        # won the id: conflict.
         cur = os.path.join(root, "_current")
         with open(cur) as f:
             actual = json.load(f)["snapshot_id"]

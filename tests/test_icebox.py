@@ -362,3 +362,110 @@ def test_merge_complete_post_image_replaces_buckets(spark, tmp_base):
     )
     got = {(r["repo"], r["path"]): r["v"] for r in t.read().collect()}
     assert got == {("b", "2"): 2}
+
+
+def test_timehash_placement_session_tz_independent(spark, tmp_base):
+    """ADVICE r3 (medium): two sessions with different
+    spark.sql.session.timeZone must place the same row in the same
+    bucket, or a table written from one zone and merged from another
+    duplicates keys / misses deletes. Placement now derives the coarse
+    unit from the UTC epoch value with pure date arithmetic."""
+    from milvus_cdc_spark.functions.hashing import placement_expr
+
+    df = spark.createDataFrame(
+        [(23 * 3600 + 1800, 7), (946_598_400 + 600, 8)], "sec bigint, k int"
+    ).select(F.col("sec").cast("timestamp").alias("ts"), "k")
+
+    def place(unit):
+        return [
+            r[0]
+            for r in df.select(
+                placement_expr(f"timehash:{unit}", ["ts", "k"], 8).alias("b")
+            ).collect()
+        ]
+
+    base = {u: place(u) for u in ("day", "month")}
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("Asia/Kolkata", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for u in ("day", "month"):
+                assert place(u) == base[u], (tz, u)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_timehash_null_leading_key_raises_descriptively(spark, tmp_base):
+    """ADVICE r3: a NULL leading time key must fail LOUDLY with a
+    descriptive error instead of staging a __HIVE_DEFAULT_PARTITION__
+    poison-pill file that wedges every later merge."""
+    t = _mk_timehash(spark, tmp_base, "tnull")
+    rows = _tchanges(spark, [(0, 1, 10, False)]).unionByName(
+        spark.createDataFrame([(None, 2, 20, False)], TSCHEMA + ", __deleted boolean")
+    )
+    with pytest.raises(Exception, match="NULL leading time key"):
+        t.merge(rows)
+    # the failed merge committed nothing and did not wedge the table
+    t.refresh()
+    assert t.snap.snapshot_id == 0
+    t.merge(_tchanges(spark, [(0, 1, 10, False)]))
+    assert {r["v"] for r in t.read().collect()} == {10}
+
+
+def test_merge_complete_refused_on_mor(spark, tmp_base):
+    """ADVICE r3: complete=True asserts post-image semantics, which the
+    MoR path (append-delta + seq resolution) does not implement — it
+    must refuse, not silently degrade."""
+    t = IceboxTable.create(
+        spark, os.path.join(tmp_base, "morc"), SCHEMA, ["repo", "path"],
+        num_buckets=4, seq_col="v", write_mode="mor",
+    )
+    with pytest.raises(ValueError, match="complete=True"):
+        t.merge(
+            _changes(spark, [("a", "1", 1, False)]),
+            affected_buckets=[0], complete=True,
+        )
+
+
+def _commit_worker(root: str, wid: str, n: int) -> None:
+    # runs in a separate PROCESS: no SparkSession — commit machinery is
+    # pure file ops
+    from milvus_cdc_spark.sources.icebox import IceboxTable
+
+    t = IceboxTable(None, root)
+    for i in range(n):
+        marker = {f"m_{wid}_{i}": 1}
+        t._commit_retrying(
+            lambda cur: t._child_snapshot(cur, dict(cur.buckets), marker),
+            attempts=200, backoff=0.002,
+        )
+
+
+def test_cross_process_commit_serializes(spark, tmp_base):
+    """VERDICT r3 #5: two PROCESSES committing to one table. Without the
+    fcntl.flock in _commit_lock, the orphan-replace branch of
+    _write_snapshot_exclusive can interleave so the loser replaces the
+    winner's just-committed manifest — a lost update visible here as a
+    missing properties marker (properties accumulate through the
+    child-snapshot chain, so the final snapshot must carry every
+    worker's every marker)."""
+    import multiprocessing as mp
+
+    t = _mk(spark, tmp_base, "xproc")
+    n = 20
+    ctx = mp.get_context("spawn")
+    ps = [
+        ctx.Process(target=_commit_worker, args=(t.root, wid, n))
+        for wid in ("a", "b")
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    t.refresh()
+    assert t.snap.snapshot_id == 2 * n
+    markers = {k for k in t.snap.properties if k.startswith("m_")}
+    assert markers == {f"m_{w}_{i}" for w in ("a", "b") for i in range(n)}
+    sids = t.snapshots()
+    assert sids == list(range(2 * n + 1))  # gapless: no clobbered manifests

@@ -144,3 +144,39 @@ def test_rollup_per_batch_read_is_time_pruned(spark, tmp_base, monkeypatch):
     assert reads[-1]["files"] <= max(reads[0]["files"], 2 * job.num_buckets)
     for r in reads:
         assert r["files"] <= 2 * job.num_buckets
+
+
+def test_rollup_reads_batch_range_once(spark, tmp_base, monkeypatch):
+    """VERDICT r3 #7: one scan of the events batch range per
+    apply_batch. The partials feed two consumers (the day-bounds scalar
+    agg and the totals join), so they must come from ONE cached plan —
+    not two separately constructed scans of the same range. Guard both
+    halves: exactly one events-scan plan built per batch, and that plan
+    cached before its second use."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    _events(spark, tmp_base)
+    job = _mk(spark, tmp_base)
+
+    scans: list[str] = []
+    orig_parquet = DataFrameReader.parquet
+
+    def spy_parquet(self, *paths, **kw):
+        scans.extend(p for p in paths if p == job.events_path)
+        return orig_parquet(self, *paths, **kw)
+
+    persists: list[bool] = []
+    # patch the CLASSIC subclass — instances override the base's persist
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    orig_persist = DataFrame.persist
+
+    def spy_persist(self, *a, **kw):
+        persists.append(True)
+        return orig_persist(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy_parquet)
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    job.run(until_seq=4999)
+    assert len(scans) == 5  # one events-scan plan per batch, not two
+    assert len(persists) == 5  # ...and it is cached across its two uses
