@@ -194,25 +194,37 @@ def ngram_jaccard_pairs(
     union via |A|+|B|-∩. Runs only over LSH candidates — the classic
     two-stage near-dup pipeline (cheap filter, exact verify).
 
-    Set sizes come from ``size(shingles)`` on the array — a projection —
-    NOT a second explode + groupBy-count (which would shuffle O(corpus
-    shingles) rows a second time).
+    ONE tokenization pass (VERDICT r3 #6): a single projection emits the
+    per-doc set size (``size(<shingle expr>)``) alongside
+    ``explode(<shingle expr>)`` — the corpus is split/shingled once, and
+    whole-stage codegen's subexpression elimination evaluates the shared
+    shingle expression once per row. The sizes then RIDE the exploded
+    rows through the intersection join (recovered per group with
+    ``first``), so no second scan and no extra size-join is needed.
+    Exploding the *expression* (not a staged column) still matters — see
+    :func:`_shingle_parts` for the InferFiltersFromGenerate trap.
     """
-    sh = word_shingles(docs, id_col, text_col, n=shingle_n)
-    sizes = shingle_arrays(docs, id_col, text_col, n=shingle_n).select(
-        F.col(id_col), F.size("shingles").cast("long").alias("n_shingles")
+    tok, shingle = _shingle_parts(docs, id_col, text_col, shingle_n, distinct=True)
+    sh = tok.select(
+        F.col(id_col),
+        F.size(shingle).cast("long").alias("n_shingles"),
+        F.explode(shingle).alias("shingle"),
     )
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    out = (
         pairs.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),  # constant within the group
+            F.first("n_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),

@@ -217,18 +217,32 @@ def pairwise_cosine_neardup(
     O((N/2^n)²). The recall lost to finer buckets is recovered with
     ``n_tables`` independent plane sets (classic multi-table LSH): a pair
     split by one table's hyperplane is usually intact in another; the
-    union of per-table candidates is deduped before emit."""
+    union of per-table candidates is deduped before emit.
+
+    Each side's vector NORM is computed in the PRE-join projection (one
+    O(dim) aggregate per vector) and carried through the join as a
+    column, so candidate pairs pay only the dot product — computing
+    ``_norm`` inside the joined projection would re-run two O(dim)
+    aggregates per PAIR, and same-bucket pair counts are quadratic in
+    bucket population (VERDICT r3 #2)."""
     dim_row = embeddings.select(F.size(vec_col)).first()
     dim = dim_row[0]
 
     def one_table(t: int) -> DataFrame:
         planes = make_planes(dim, n_planes, seed + t)
-        b = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+        b = embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+            _norm(F.col(vec_col)).alias("__norm"),
+        )
         left = b.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("__norm").alias("na"), "__bucket",
         )
         right = b.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("__norm").alias("nb"), "__bucket",
         )
         return (
             left.join(right, "__bucket")
@@ -236,8 +250,7 @@ def pairwise_cosine_neardup(
             .withColumn(
                 "cosine",
                 F.round(
-                    _dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                     6,
                 ),
             )

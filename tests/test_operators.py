@@ -244,3 +244,59 @@ def test_asof_join_null_payload_comes_from_matched_row(spark):
     assert row["tag_asof"] == "b"
     assert row["pvalue_asof"] is None
     assert int(row["asof_ts"].timestamp()) == 15
+
+
+def test_ngram_jaccard_exact_values(spark):
+    """Hand-computed Jaccard on word bigrams (distinct per doc)."""
+    from milvus_cdc_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # bigrams {ab, bc, cd}
+            (2, "b c d e"),       # {bc, cd, de}; ∩ with 1 = {bc, cd} → 2/4
+            (3, "x y z"),         # disjoint with 1 → no output row
+            (4, "a b a b"),       # {ab, ba}; ∩ with 1 = {ab} → 1/4
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a int, id_b int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, pairs, shingle_n=2).collect()
+    }
+    assert got == {(1, 2): (2, 3, 3, 0.5), (1, 4): (1, 3, 2, 0.25)}
+
+
+def test_neardup_matches_bruteforce_cosine(spark):
+    """Norm-precompute refactor must not change scores: every LSH pair's
+    cosine equals the directly computed value."""
+    import math
+
+    from milvus_cdc_spark.operators.similarity import pairwise_cosine_neardup
+
+    vecs = {
+        i: [((i * 37 + j * 11) % 10) / 10.0 + 0.1 for j in range(4)]
+        for i in range(12)
+    }
+    vecs[11] = [v * 1.001 for v in vecs[0]]  # a true near-dup pair
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id int, embedding array<float>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in pairwise_cosine_neardup(
+            emb, threshold=0.9, n_planes=2, n_tables=2
+        ).collect()
+    }
+    assert (0, 11) in got
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+
+    for (ia, ib), c in got.items():
+        # float32 storage: compare at 5dp
+        assert abs(c - cos([float(__import__("numpy").float32(x)) for x in vecs[ia]],
+                           [float(__import__("numpy").float32(x)) for x in vecs[ib]])) < 1e-4
