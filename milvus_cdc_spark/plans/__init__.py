@@ -6,6 +6,7 @@ from milvus_cdc_spark.plans.metastore import (  # noqa: F401
     JsonMetastore,
     Metastore,
     MetastoreBackend,
+    SqliteMetastore,
 )
 from milvus_cdc_spark.plans.rollup import RollupJob  # noqa: F401
 from milvus_cdc_spark.plans.task import TaskManager  # noqa: F401

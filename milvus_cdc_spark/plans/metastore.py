@@ -13,6 +13,9 @@ provide only raw storage primitives — swapping the JSON files for a DB
 - :class:`Metastore` — JSON files + atomic ``os.replace`` swaps and
   O_APPEND JSONL audit logs (the default; right for a driver-side
   single host),
+- :class:`SqliteMetastore` — stdlib ``sqlite3`` (the MySQL-store
+  analog: a real transactional DB behind the same seam, zero new
+  dependencies),
 - :class:`InMemoryMetastore` — dict-backed (tests, ephemeral runs;
   also the template for a real DB driver: ~10 primitive methods).
 
@@ -218,6 +221,91 @@ class Metastore(MetastoreBackend):
 
 #: alias making the driver role explicit at call sites that configure one
 JsonMetastore = Metastore
+
+
+class SqliteMetastore(MetastoreBackend):
+    """stdlib ``sqlite3`` driver — the transactional-DB analog of the
+    reference's MySQL store (``server/store/mysql.go:55-101`` creates its
+    tables the same way: idempotent DDL at connect, JSON blobs for task
+    meta/positions). Proves the :class:`MetastoreBackend` seam against a
+    real ACID store with zero new dependencies: state objects are JSON
+    blobs UPSERTed by (kind, key), audit tables are append-only rows with
+    a monotone rowid. WAL journal mode keeps concurrent readers (and a
+    writer in another process) safe; a per-instance mutex serializes this
+    process's threads over the one connection (foreachBatch runs on the
+    stream execution thread)."""
+
+    def __init__(self, path: str):
+        import sqlite3
+        import threading as _threading
+
+        parent = os.path.dirname(os.path.abspath(path))
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        self.path = path
+        self._lock = _threading.Lock()
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        with self._lock, self._conn:
+            self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS state ("
+                " kind TEXT NOT NULL, key TEXT NOT NULL, state TEXT NOT NULL,"
+                " PRIMARY KEY (kind, key))"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS audit ("
+                " seq INTEGER PRIMARY KEY AUTOINCREMENT,"
+                " tbl TEXT NOT NULL, row TEXT NOT NULL)"
+            )
+
+    def _read_state(self, kind: str, key: str) -> dict[str, Any] | None:
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT state FROM state WHERE kind=? AND key=?", (kind, key)
+            )
+            row = cur.fetchone()
+        return None if row is None else json.loads(row[0])
+
+    def _write_state(self, kind: str, key: str, state: dict[str, Any]) -> None:
+        with self._lock, self._conn:  # one statement, one transaction
+            self._conn.execute(
+                "INSERT INTO state (kind, key, state) VALUES (?, ?, ?)"
+                " ON CONFLICT (kind, key) DO UPDATE SET state=excluded.state",
+                (kind, key, json.dumps(state)),
+            )
+
+    def _delete_state(self, kind: str, key: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "DELETE FROM state WHERE kind=? AND key=?", (kind, key)
+            )
+
+    def _list_state(self, kind: str) -> list[dict[str, Any]]:
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT state FROM state WHERE kind=? ORDER BY key", (kind,)
+            )
+            rows = cur.fetchall()
+        return [json.loads(r[0]) for r in rows]
+
+    def _append_rows(self, table: str, rows: list[dict[str, Any]]) -> None:
+        with self._lock, self._conn:
+            self._conn.executemany(
+                "INSERT INTO audit (tbl, row) VALUES (?, ?)",
+                [(table, json.dumps(r)) for r in rows],
+            )
+
+    def _audit_rows(self, table: str) -> list[dict[str, Any]]:
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT row FROM audit WHERE tbl=? ORDER BY seq", (table,)
+            )
+            rows = cur.fetchall()
+        return [json.loads(r[0]) for r in rows]
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()
 
 
 class InMemoryMetastore(MetastoreBackend):

