@@ -55,7 +55,18 @@ QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
 # machinery is actually exercised at test scale (sf0.01: 500 vectors →
 # 3 planes / 8 buckets; sf0.1: 2000 → 5 planes / 32 buckets).
 ANN_TARGET_BUCKET_ROWS = 64
-ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _oracle_sf_dir() -> str:
+    """SF dir the oracles are derived for. The driver runs the gate at
+    sf0.01 (the default); tools/check_oracle.py sets the env var to its
+    [sf_dir] argument so the oracle's DERIVED plane counts follow the
+    corpus under test instead of being pinned to sf0.01 (at sf0.1
+    auto_planes gives 5 planes vs 3 — a pinned oracle would spuriously
+    fail ann_lsh_topk / embedding_neardup there)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _embedding_count(sf_dir: str) -> int:
@@ -545,7 +556,7 @@ def _qvec_sql() -> str:
 def _oracle_planes(seed: int) -> list[list[float]]:
     """The plane set the oracle must mirror: derived for the CORRECTNESS
     scale factor's corpus, same auto_planes rule as queries()."""
-    return make_planes(64, _ann_planes_for(ORACLE_SF_DIR), seed=seed)
+    return make_planes(64, _ann_planes_for(_oracle_sf_dir()), seed=seed)
 
 
 def _probe_list_sql(planes) -> str:

@@ -117,14 +117,47 @@ class MultiTableRouter:
                         "events would double-apply to both tables"
                     )
 
-    def run(self, until_seq: int, max_batches: int | None = None) -> dict[str, dict]:
-        """Advance every route. Sequential here (one Spark app = shared
-        scheduler); on a real cluster each route can be its own job in
-        the same session via a thread pool — scheduling is Spark's."""
-        return {
-            name: job.run(until_seq, max_batches=max_batches)
-            for name, job in self.jobs.items()
-        }
+    def run(
+        self,
+        until_seq: int,
+        max_batches: int | None = None,
+        concurrent: bool = False,
+        max_workers: int | None = None,
+    ) -> dict[str, dict]:
+        """Advance every route.
+
+        ``concurrent=True`` runs one driver thread per route so the N
+        routes' Spark jobs interleave in the session's scheduler instead
+        of serializing — the reference runs one replicate pipeline per
+        channel concurrently (``core/reader/replicate_channel_manager.go:
+        76-81``). Safe because routes are fully independent: each has its
+        own icebox table (enforced at construction), its own checkpoint
+        key, and Spark job submission is thread-safe. Errors are isolated
+        per route: a failing route reports ``{"error": ...}`` in its slot
+        (its checkpoint simply stops advancing — the pause analog) while
+        every other route runs to completion.
+        """
+        if not concurrent:
+            return {
+                name: job.run(until_seq, max_batches=max_batches)
+                for name, job in self.jobs.items()
+            }
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: dict[str, dict] = {}
+        with ThreadPoolExecutor(
+            max_workers=max_workers or len(self.jobs), thread_name_prefix="route"
+        ) as ex:
+            futures = {
+                name: ex.submit(job.run, until_seq, max_batches=max_batches)
+                for name, job in self.jobs.items()
+            }
+            for name, fut in futures.items():
+                try:
+                    results[name] = fut.result()
+                except Exception as e:  # noqa: BLE001 — isolate, don't mask
+                    results[name] = {"error": f"{type(e).__name__}: {e}"}
+        return results
 
     def positions(self) -> dict[str, dict]:
         return {

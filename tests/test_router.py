@@ -192,3 +192,61 @@ def test_anchored_exact_scopes_fully_decidable(spark, tmp_base):
         mk(["^org1/repo5$", "repo5"])
     # exact vs substring NOT occurring in it — OK (decidable disjoint)
     mk(["^org1/repo5$", "org2/"])
+
+
+def test_router_concurrent_routes_with_error_isolation(spark, tmp_base):
+    """VERDICT r3 #8: concurrent=True advances routes in parallel driver
+    threads; a route that fails mid-run reports an error in its own slot
+    and stops advancing, while the other route completes and its final
+    state matches the oracle."""
+    log = os.path.join(tmp_base, "log")
+    write_event_log(generate_events(spark, 3000, num_keys=300), log)
+    router = MultiTableRouter(
+        spark,
+        parquet_source(log),
+        Metastore(os.path.join(tmp_base, "meta")),
+        routes=[
+            Route("org0", os.path.join(tmp_base, "t0"), r"^org0/"),
+            Route("rest", os.path.join(tmp_base, "t1"), r"^org[^0]/"),
+        ],
+        batch_size=500,
+        num_buckets=4,
+    )
+    # sabotage ONE route mid-run: its table merge raises after 2 batches
+    bad = router.jobs["rest"]
+    calls = {"n": 0}
+    orig_merge = type(bad.table()).merge
+
+    def failing_merge(self, *a, **kw):
+        if self.root == bad.table_root:
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("injected route failure")
+        return orig_merge(self, *a, **kw)
+
+    try:
+        type(bad.table()).merge = failing_merge
+        results = router.run(until_seq=2999, concurrent=True)
+    finally:
+        type(bad.table()).merge = orig_merge
+
+    # failing route isolated: error reported, checkpoint stalled
+    assert "error" in results["rest"]
+    assert "injected route failure" in results["rest"]["error"]
+    pos = router.positions()
+    assert pos["rest"]["global_offset"] < 2999
+
+    # healthy route unaffected and exactly correct
+    assert "error" not in results["org0"]
+    assert pos["org0"]["global_offset"] == 2999
+    pdf = spark.read.parquet(log).toPandas()
+    exp0 = {k: v for k, v in expected_hashes(pdf).items() if k[0].startswith("org0/")}
+    got0 = engine_hashes(IceboxTable(spark, os.path.join(tmp_base, "t0")).read())
+    assert got0 == exp0
+
+    # and the stalled route RESUMES cleanly once the fault clears
+    resumed = router.run(until_seq=2999, concurrent=True)
+    assert "error" not in resumed["rest"]
+    exp1 = {k: v for k, v in expected_hashes(pdf).items() if not k[0].startswith("org0/")}
+    got1 = engine_hashes(IceboxTable(spark, os.path.join(tmp_base, "t1")).read())
+    assert got1 == exp1

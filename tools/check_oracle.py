@@ -52,6 +52,9 @@ def rowset(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # derived oracle constants (LSH plane counts) must follow the corpus
+    # under test, not the driver's pinned sf0.01 (ADVICE r3)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(master="local[8]")
     con = duckdb.connect()
     for t in TABLES:
