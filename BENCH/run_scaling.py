@@ -26,9 +26,26 @@ a pair share a machine-state window, so the steal factor largely cancels
 in their ratio — and reports the MEDIAN of per-pair efficiencies as the
 headline, with the best pair and all raw numbers alongside.
 
+**Health gating (round 4).** Round 3's lesson: pairs launched into
+degraded host windows measure the HOST, not the engine, and a post-hoc
+probe subset is weaker evidence than a launch gate. The ``--gated-pair``
+mode therefore probes FIRST and only launches a pair when the host
+passes (cpu-grant ≥ 4.0, mem-bw ≥ 5 GB/s — the same thresholds round
+3's full-grant subset used, fixed BEFORE any measurement); otherwise it
+sleeps and re-probes, and gives up after a bounded wait so the caller
+can retry later. A pair is recorded green only when the probes on BOTH
+sides pass — the session headline is the median over green pairs, with
+every launched pair (green or not) in the table.
+
 Usage:
   python BENCH/run_scaling.py --pair LOW HIGH EVENTS BATCH OUT.json
       one adjacent (low, high) pair → OUT.json  (bounded, ~5 min)
+  python BENCH/run_scaling.py --gated-pair OUTDIR [EVENTS BATCH LOW HIGH]
+      probe until healthy (bounded wait), then run ONE pair →
+      OUTDIR/pair-<ts>.json; prints {"skipped": true, ...} if no
+      healthy window appeared
+  python BENCH/run_scaling.py --compose-gated OUTDIR
+      BASELINE.md + JSON headline from a gated session's pair files
   python BENCH/run_scaling.py --compose-pairs OUT1.json OUT2.json ...
       median/best of per-pair efficiencies → BENCH/BASELINE.md + JSON line
   python BENCH/run_scaling.py [events] [batch] [low] [high] [pairs]
@@ -103,13 +120,19 @@ def machine_probe() -> dict:
             buf2 = buf.copy()  # noqa: F841
             copied += 2 * buf.nbytes  # read+write
         windows.append(copied / (time.time() - t0) / 1e9)
+    # One grant sample is a 1.5 s snapshot of a noisy property (round-3
+    # samples swung ±0.3 within minutes); the recorded figure is the
+    # MEDIAN of three samples (~9 s total), with the raw samples kept so
+    # the estimator is re-derivable.
+    grants = [cpu_grant_probe() for _ in range(3)]
     return {
         "steal_pct": steal_pct,
         "membw_gbps": round(max(windows), 2),
         "membw_first_window_gbps": round(windows[0], 2),
         # the decisive witness: how many CPU cycles does the host
         # actually grant 4 pinned vCPUs relative to 1? (ideal: 4.0)
-        "cpu_grant_4v1": cpu_grant_probe(),
+        "cpu_grant_4v1": sorted(grants)[1],
+        "cpu_grant_samples": grants,
     }
 
 
@@ -151,11 +174,17 @@ def cpu_grant_probe() -> float:
     return round(four / max(one, 1), 2)
 
 
-def run_pair(low_cores: int, high_cores: int, events: int, batch: int) -> dict:
+def run_pair(
+    low_cores: int, high_cores: int, events: int, batch: int,
+    probe_before: dict | None = None,
+) -> dict:
     """One ADJACENT (low, high) pair — the two runs share a machine-state
     window so a uniform slowdown cancels in their ratio; the probes
-    record the non-uniform mode (bandwidth contention) explicitly."""
-    probe_before = machine_probe()
+    record the non-uniform mode (bandwidth contention) explicitly.
+    ``probe_before`` lets the gated launcher reuse the probe that just
+    passed the health gate instead of paying a second one."""
+    if probe_before is None:
+        probe_before = machine_probe()
     low = run_level(low_cores, events, batch)
     high = run_level(high_cores, events, batch)
     probe_after = machine_probe()
@@ -170,6 +199,137 @@ def run_pair(low_cores: int, high_cores: int, events: int, batch: int) -> dict:
         "probe_before": probe_before, "probe_after": probe_after,
         "ts": time.time(),
     }
+
+
+GATE_GRANT = 4.0   # cpu-grant 4v1 ≥ this → host provides 4 vCPUs' cycles
+GATE_MEMBW = 5.0   # GB/s post-warm streaming copy ≥ this → bandwidth healthy
+
+
+def probe_ok(probe: dict) -> bool:
+    """The launch/green criterion — fixed BEFORE any measurement, a pure
+    function of the probe (never of the measured efficiency)."""
+    return (
+        (probe.get("cpu_grant_4v1") or 0) >= GATE_GRANT
+        and (probe.get("membw_gbps") or 0) >= GATE_MEMBW
+    )
+
+
+def pair_green(p: dict) -> bool:
+    """Probe-green pair: the host passed the gate on BOTH sides."""
+    return probe_ok(p.get("probe_before") or {}) and probe_ok(p.get("probe_after") or {})
+
+
+def gated_pair(
+    outdir: str, events: int, batch: int, low: int, high: int,
+    max_wait_s: float = 150.0, sleep_s: float = 30.0,
+) -> dict:
+    """Probe until the host passes the gate (bounded wait), then run ONE
+    adjacent pair and persist it to ``outdir``. Returns/prints either the
+    pair record (with ``green`` set by the bracketing probes) or
+    ``{"skipped": true, "probes": [...]}`` when no healthy window
+    appeared within the wait budget — the caller just invokes again
+    later. Waiting lives HERE (not around whole sessions) so a noisy
+    hour costs probe time, not measurement validity."""
+    os.makedirs(outdir, exist_ok=True)
+    waited = 0.0
+    probes = []
+    while True:
+        probe = machine_probe()
+        probes.append(probe)
+        if probe_ok(probe):
+            break
+        if waited >= max_wait_s:
+            rec = {"skipped": True, "probes": probes}
+            return rec
+        time.sleep(sleep_s)
+        waited += sleep_s
+    p = run_pair(low, high, events, batch, probe_before=probe)
+    p["green"] = pair_green(p)
+    p["gate"] = {"grant": GATE_GRANT, "membw_gbps": GATE_MEMBW}
+    path = os.path.join(outdir, f"pair-{int(p['ts'])}.json")
+    with open(path, "w") as f:
+        json.dump(p, f)
+    p["path"] = path
+    return p
+
+
+def gated_headline(
+    out_path: str, max_wait_s: float = 150.0, sleep_s: float = 30.0,
+    skip_queries: bool = False,
+) -> dict:
+    """bench.py's standard protocol (local[32], sf0.1 defaults) run only
+    when the health gate passes, with probes bracketing the run recorded
+    in the output — the probe-green replay headline round 3 could not
+    evidence."""
+    waited = 0.0
+    probes = []
+    while True:
+        probe = machine_probe()
+        probes.append(probe)
+        if probe_ok(probe):
+            break
+        if waited >= max_wait_s:
+            return {"skipped": True, "probes": probes}
+        time.sleep(sleep_s)
+        waited += sleep_s
+    env = dict(os.environ)
+    if skip_queries:
+        env["BENCH_SKIP_QUERIES"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    rec["probe_before"] = probe
+    rec["probe_after"] = machine_probe()
+    rec["green"] = probe_ok(rec["probe_before"]) and probe_ok(rec["probe_after"])
+    with open(out_path, "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+def compose_gated(outdir: str) -> dict:
+    """Headline from a gated session: every launched pair is recorded;
+    the headline is the median over GREEN pairs (launch gate + after-
+    probe, criterion fixed up front). Writes BENCH/BASELINE.md."""
+    pairs = []
+    for fn in sorted(os.listdir(outdir)):
+        if fn.startswith("pair-") and fn.endswith(".json"):
+            with open(os.path.join(outdir, fn)) as f:
+                pairs.append(json.load(f))
+    if not pairs:
+        raise SystemExit(f"no pair files in {outdir}")
+    green = [p for p in pairs if p.get("green") or pair_green(p)]
+    effs_all = [p["efficiency"] for p in pairs]
+    effs_green = [p["efficiency"] for p in green]
+    best = max(pairs, key=lambda p: p["efficiency"])
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(statistics.median(effs_green), 3) if effs_green else None,
+        "unit": "ratio",
+        "gated": True,
+        "green_pairs": len(green),
+        "launched_pairs": len(pairs),
+        "value_all_launched_median": round(statistics.median(effs_all), 3),
+        "value_best_pair": best["efficiency"],
+        "pair_efficiencies": effs_green,
+        "pairs": [
+            {
+                "low": p["low"], "high": p["high"],
+                "efficiency": p["efficiency"],
+                "green": bool(p.get("green") or pair_green(p)),
+                "cpu_grant": _grant(p),
+            }
+            for p in pairs
+        ],
+        "low_cores": pairs[0]["low_cores"],
+        "high_cores": pairs[0]["high_cores"],
+        "events": pairs[0]["events"],
+        "batch": pairs[0]["batch"],
+    }
+    write_md_gated(result, pairs)
+    return result
 
 
 def _grant(p: dict) -> float | None:
@@ -348,7 +508,141 @@ every batch boundary) — `python -m pytest -x -q`.
         f.write(md)
 
 
+def write_md_gated(result: dict, pairs: list[dict]) -> None:
+    low_cores, high_cores = result["low_cores"], result["high_cores"]
+    events, batch = result["events"], result["batch"]
+
+    def bw(p):
+        pb, pa = p.get("probe_before") or {}, p.get("probe_after") or {}
+        return f"{pb.get('membw_gbps', '?')}/{pa.get('membw_gbps', '?')}"
+
+    def grant(p):
+        pb, pa = p.get("probe_before") or {}, p.get("probe_after") or {}
+        return f"{pb.get('cpu_grant_4v1', '?')}/{pa.get('cpu_grant_4v1', '?')}"
+
+    rows = "\n".join(
+        f"| {i} | {p['low']:,.0f} | {p['high']:,.0f} | {p['efficiency']:.3f} "
+        f"| {'yes' if (p.get('green') or pair_green(p)) else 'NO'} "
+        f"| {grant(p)} | {bw(p)} |"
+        for i, p in enumerate(pairs)
+    )
+    headline_note = ""
+    hl = os.path.join(REPO, "BENCH", "headline_r4.json")
+    if os.path.exists(hl):
+        with open(hl) as f:
+            h = json.load(f)
+        headline_note = f"""
+## Replay headline on a probe-green window (local[32], unpinned)
+
+`BENCH/headline_r4.json` — bench.py's standard protocol run when the
+health gate passed: **{h.get("value"):,.0f} events/sec best segment,
+{h.get("value_median"):,.0f} median** ({h.get("replay_events_total"):,}
+events, probes bracketing the run recorded in the file).
+"""
+    md = f"""# BENCH/BASELINE.md — measured performance (this engine)
+
+Generated by `python BENCH/run_scaling.py --compose-gated` (HEALTH-GATED
+adjacent-pair protocol) on {time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())},
+single host (32 HW threads, 125 GiB RAM), PySpark local mode,
+taskset-pinned fresh JVM per run.
+
+## CDC replay throughput (the BASELINE.json headline metric)
+
+Deterministic seeded change-event log ({N_KEYS:,} keys, ~600 B content
+rows, one hot repo holding 30% of events, 70/25/5 insert-update/delete/
+re-insert mix), generated lazily — never materialized — and replayed
+through the full pipeline: scope/type filters → LWW dedup (hash agg,
+map-side combine, bucket-aligned single shuffle) → vectorized sha256
+pandas UDF → icebox merge-on-read delta commit (+ amortized per-bucket
+compaction) → per-partition checkpoint + lineage + metrics rows per
+batch (stats piggybacked on the merge job via Observation — zero extra
+passes). First batch excluded as warm-up.
+{headline_note}
+## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)
+
+Round 3 showed that pairs launched into degraded host windows measure
+the HOST (a box granting 4 pinned vCPUs ~2 vCPUs of cycles caps any
+4-process workload at efficiency ~0.5), and that a post-hoc probe
+subset is weak evidence. Round 4's protocol therefore gates at LAUNCH:
+a pair starts only after a host-state probe passes
+
+- **cpu-grant 4v1 ≥ {GATE_GRANT}** — median of three samples of the
+  compute throughput of 4 taskset-pinned processes over 1 (pure
+  cache-resident counting; ideal 4.0 — how many vCPUs' worth of CYCLES
+  the host actually grants), and
+- **mem-bw ≥ {GATE_MEMBW} GB/s** — best of three 1 s 32 MB
+  streaming-copy windows after warm-up (this host throttles bandwidth
+  at demand onset and lifts it after ~1-2 s of sustained use),
+
+and is recorded GREEN only when the closing probe passes too. The
+criterion is a pure function of the probes, fixed before any
+measurement — never of the measured ratio. Unhealthy windows cost
+probe time, not measurement validity.
+
+efficiency_i = (high_i / low_i) / ({high_cores} / {low_cores}),
+{events:,} events per run, {batch:,}-event batches,
+{low_cores}→{high_cores} taskset-pinned cores. All launched pairs shown
+(chronological; none dropped); the headline is the median over green
+pairs.
+
+| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | efficiency | green | cpu-grant 4v1 (before/after) | mem-bw GB/s |
+|---|---|---|---|---|---|---|
+{rows}
+
+**Median efficiency over probe-green pairs: {result["value"]}**
+({result["green_pairs"]} green of {result["launched_pairs"]} launched;
+all-launched median {result["value_all_launched_median"]}; best pair
+{result["value_best_pair"]:.3f}).
+
+## Why pinned {low_cores}→{high_cores} cores (and not local[8]→local[32])
+
+1. `local[N]` bounds task slots only; GC/shuffle/compression threads and
+   pyspark UDF workers still use all 32 HW threads. Measured: unpinned
+   local[8] ≈ pinned local[8] ≈ 220k ev/s. Pinning with `taskset -c`
+   makes the levels genuinely N-core machines.
+2. Above ~8 pinned cores this single box stops scaling because one
+   host's memory bandwidth and page cache are shared across all
+   "executors" — the one resource a real cluster multiplies with every
+   added executor. Every stage of the plan (generation/scan, dedup
+   hash agg, Arrow UDF, bucket-partitioned delta write) is
+   partition-parallel with no driver-side row processing and exactly one
+   shuffle per batch, so added executors add throughput the way added
+   local threads past bandwidth saturation cannot.
+
+## Correctness anchor
+
+The measured code path is the same one `tests/test_replay.py` and
+`tests/test_resume.py` verify against the pure-pandas oracle
+(per-key sha256(content) equality after full replay, kill/resume at
+every batch boundary) — `python -m pytest -x -q`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--gated-pair":
+        outdir = sys.argv[2]
+        events = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000_000
+        batch = int(sys.argv[4]) if len(sys.argv) > 4 else 4_000_000
+        low = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+        high = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+        print(json.dumps(gated_pair(outdir, events, batch, low, high)))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--compose-gated":
+        print(json.dumps(compose_gated(sys.argv[2])))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--headline":
+        out_path = (
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else os.path.join(REPO, "BENCH", "headline_r4.json")
+        )
+        print(json.dumps(gated_headline(out_path)))
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--pair":
         low, high = int(sys.argv[2]), int(sys.argv[3])
         events, batch = int(sys.argv[4]), int(sys.argv[5])
