@@ -26,7 +26,13 @@ OUTDIR = os.path.join(HERE, "r4")
 HEADLINE = os.path.join(HERE, "headline_r4.json")
 TARGET_GREEN = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 BUDGET_S = float(sys.argv[2]) if len(sys.argv) > 2 else 170 * 60
-EVENTS, BATCH, LOW, HIGH = 12_000_000, 4_000_000, 1, 4
+# Shorter pairs bracket a TIGHTER host window (this host sags on a
+# ~5-min scale, so a 12M-event pair often ends in a failed closing
+# probe); 6M/2M halves the window while keeping 1 warm-up + 2 steady
+# batches per leg.
+EVENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 6_000_000
+BATCH = int(sys.argv[4]) if len(sys.argv) > 4 else 2_000_000
+LOW, HIGH = 1, 4
 
 
 def log(rec: dict) -> None:
@@ -78,6 +84,7 @@ def try_headline() -> None:
 
 
 def main() -> None:
+    os.makedirs(OUTDIR, exist_ok=True)
     t0 = time.time()
     attempt = 0
     while time.time() - t0 < BUDGET_S:
@@ -90,7 +97,10 @@ def main() -> None:
             if not headline_green():
                 try_headline()
                 continue
-        p = rs.gated_pair(OUTDIR, EVENTS, BATCH, LOW, HIGH, max_wait_s=240.0)
+        order = "high_first" if attempt % 2 == 0 else "low_first"
+        p = rs.gated_pair(
+            OUTDIR, EVENTS, BATCH, LOW, HIGH, max_wait_s=240.0, order=order,
+        )
         if p.get("skipped"):
             log({"kind": "pair", "skipped": True,
                  "probes": [
@@ -100,10 +110,13 @@ def main() -> None:
             continue
         log({
             "kind": "pair", "green": p["green"], "eff": p["efficiency"],
+            "order": p.get("order"),
             "low": p["low"], "high": p["high"],
             "grants": (p["probe_before"]["cpu_grant_4v1"],
+                       (p.get("probe_mid") or {}).get("cpu_grant_4v1"),
                        p["probe_after"]["cpu_grant_4v1"]),
             "membw": (p["probe_before"]["membw_gbps"],
+                      (p.get("probe_mid") or {}).get("membw_gbps"),
                       p["probe_after"]["membw_gbps"]),
         })
     result = rs.compose_gated(OUTDIR) if os.path.isdir(OUTDIR) and any(

@@ -177,26 +177,48 @@ def cpu_grant_probe() -> float:
 def run_pair(
     low_cores: int, high_cores: int, events: int, batch: int,
     probe_before: dict | None = None,
+    order: str = "low_first",
+    settle_s: float = 0.0,
 ) -> dict:
     """One ADJACENT (low, high) pair — the two runs share a machine-state
     window so a uniform slowdown cancels in their ratio; the probes
     record the non-uniform mode (bandwidth contention) explicitly.
     ``probe_before`` lets the gated launcher reuse the probe that just
-    passed the health gate instead of paying a second one."""
+    passed the health gate instead of paying a second one.
+
+    ``order``/``settle_s`` counter a failure mode measured on this host:
+    capacity recovers when idle and sags under sustained load (the
+    credit-throttle signature — idle probes read grant 4.3-4.7, probes
+    right after a heavy leg read 3.4-3.9). Running low-then-high always
+    hands the HIGH leg the drained state, biasing efficiency down;
+    alternating ``order`` across pairs removes the systematic part, and
+    a ``settle_s`` sync+idle before the second leg plus a mid-pair probe
+    (``probe_mid``, recorded; green requires all three) makes each leg
+    start from a comparable, witnessed host state."""
     if probe_before is None:
         probe_before = machine_probe()
-    low = run_level(low_cores, events, batch)
-    high = run_level(high_cores, events, batch)
+    first, second = (low_cores, high_cores)
+    if order == "high_first":
+        first, second = second, first
+    r1 = run_level(first, events, batch)
+    if settle_s:
+        os.sync()
+        time.sleep(settle_s)
+    probe_mid = machine_probe()
+    r2 = run_level(second, events, batch)
     probe_after = machine_probe()
+    low, high = (r1, r2) if order != "high_first" else (r2, r1)
     return {
         "low_cores": low_cores, "high_cores": high_cores,
-        "events": events, "batch": batch,
+        "events": events, "batch": batch, "order": order,
+        "settle_s": settle_s,
         "low": low["value"], "high": high["value"],
         "low_segments": low.get("segments"), "high_segments": high.get("segments"),
         "efficiency": round(
             (high["value"] / low["value"]) / (high_cores / low_cores), 3
         ),
-        "probe_before": probe_before, "probe_after": probe_after,
+        "probe_before": probe_before, "probe_mid": probe_mid,
+        "probe_after": probe_after,
         "ts": time.time(),
     }
 
@@ -215,13 +237,18 @@ def probe_ok(probe: dict) -> bool:
 
 
 def pair_green(p: dict) -> bool:
-    """Probe-green pair: the host passed the gate on BOTH sides."""
-    return probe_ok(p.get("probe_before") or {}) and probe_ok(p.get("probe_after") or {})
+    """Probe-green pair: the host passed the gate on every recorded
+    bracketing probe (before/after, plus mid-pair when present)."""
+    probes = [p.get("probe_before"), p.get("probe_after")]
+    if p.get("probe_mid") is not None:
+        probes.append(p["probe_mid"])
+    return all(probe_ok(pr or {}) for pr in probes)
 
 
 def gated_pair(
     outdir: str, events: int, batch: int, low: int, high: int,
     max_wait_s: float = 150.0, sleep_s: float = 30.0,
+    order: str = "low_first", settle_s: float = 45.0,
 ) -> dict:
     """Probe until the host passes the gate (bounded wait), then run ONE
     adjacent pair and persist it to ``outdir``. Returns/prints either the
@@ -243,7 +270,10 @@ def gated_pair(
             return rec
         time.sleep(sleep_s)
         waited += sleep_s
-    p = run_pair(low, high, events, batch, probe_before=probe)
+    p = run_pair(
+        low, high, events, batch, probe_before=probe,
+        order=order, settle_s=settle_s,
+    )
     p["green"] = pair_green(p)
     p["gate"] = {"grant": GATE_GRANT, "membw_gbps": GATE_MEMBW}
     path = os.path.join(outdir, f"pair-{int(p['ts'])}.json")
@@ -512,17 +542,22 @@ def write_md_gated(result: dict, pairs: list[dict]) -> None:
     low_cores, high_cores = result["low_cores"], result["high_cores"]
     events, batch = result["events"], result["batch"]
 
+    def _probes(p):
+        out = [p.get("probe_before"), p.get("probe_mid"), p.get("probe_after")]
+        return [pr for pr in out if pr is not None]
+
     def bw(p):
-        pb, pa = p.get("probe_before") or {}, p.get("probe_after") or {}
-        return f"{pb.get('membw_gbps', '?')}/{pa.get('membw_gbps', '?')}"
+        return "/".join(str((pr or {}).get("membw_gbps", "?")) for pr in _probes(p))
 
     def grant(p):
-        pb, pa = p.get("probe_before") or {}, p.get("probe_after") or {}
-        return f"{pb.get('cpu_grant_4v1', '?')}/{pa.get('cpu_grant_4v1', '?')}"
+        return "/".join(
+            str((pr or {}).get("cpu_grant_4v1", "?")) for pr in _probes(p)
+        )
 
     rows = "\n".join(
         f"| {i} | {p['low']:,.0f} | {p['high']:,.0f} | {p['efficiency']:.3f} "
         f"| {'yes' if (p.get('green') or pair_green(p)) else 'NO'} "
+        f"| {p.get('order', 'low_first')} "
         f"| {grant(p)} | {bw(p)} |"
         for i, p in enumerate(pairs)
     )
@@ -585,8 +620,8 @@ efficiency_i = (high_i / low_i) / ({high_cores} / {low_cores}),
 (chronological; none dropped); the headline is the median over green
 pairs.
 
-| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | efficiency | green | cpu-grant 4v1 (before/after) | mem-bw GB/s |
-|---|---|---|---|---|---|---|
+| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | efficiency | green | leg order | cpu-grant 4v1 (before/mid/after) | mem-bw GB/s |
+|---|---|---|---|---|---|---|---|
 {rows}
 
 **Median efficiency over probe-green pairs: {result["value"]}**
