@@ -35,7 +35,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from milvus_cdc_spark.functions.hashing import content_sha256, normalize_content
+from milvus_cdc_spark.functions.hashing import (
+    content_sha256,
+    content_sha256_builtin,
+    normalize_content,
+)
 from milvus_cdc_spark.operators.dedup import lww_dedup
 from milvus_cdc_spark.operators.filters import scope_filter, supported_dml
 from milvus_cdc_spark.operators.salting import salted_repartition
@@ -79,6 +83,10 @@ class ReplicateJob:
     # SOURCE name; the sink keys on the TARGET name.
     name_map: dict[str, str] | None = None
     normalize: bool = False
+    # "builtin": JVM-side sha2 inside whole-stage codegen (default — no
+    # Arrow round-trip on the hot path; ~2× faster per batch at 1 core).
+    # "pandas": the vectorized Arrow UDF. Identical output (test-pinned).
+    hash_impl: str = "builtin"
     collect_metrics: bool = True
     log_max_seq: int | None = None  # for lag computation
     _table: IceboxTable | None = field(default=None, repr=False)
@@ -132,7 +140,14 @@ class ReplicateJob:
         # The log is immutable: find every DDL position in the replay
         # range ONCE (column-pruned scan of two small columns) instead of
         # probing per batch — batch caps become driver-side arithmetic.
-        ddl_seqs = self._scan_ddl_positions(lo, until_seq)
+        # A source that declares itself DDL-free (``no_ddl`` attribute —
+        # the lazy generator without ``ddl_every`` sets it) skips even
+        # that one scan: a full pass over the range costs ~1-2 s per
+        # run() at 1 core for provably zero rows.
+        if getattr(self.source, "no_ddl", False):
+            ddl_seqs: list[int] = []
+        else:
+            ddl_seqs = self._scan_ddl_positions(lo, until_seq)
 
         batches = 0
         total_rows = 0
@@ -219,7 +234,15 @@ class ReplicateJob:
     def _stats_aggs(self) -> list:
         """Per-log-partition conditional aggregates for Observation —
         computed DURING the merge action (CollectMetrics node), replacing
-        a dedicated stats pass (M1/M2/K5 bookkeeping for free)."""
+        a dedicated stats pass (M1/M2/K5 bookkeeping for free).
+
+        The 4×log_partitions Column expressions are pure functions of
+        column NAMES, reusable across batches — built once and cached
+        (expression building is py4j round trips, a measured slice of
+        the per-batch fixed cost at high batch rates)."""
+        cached = getattr(self, "_stats_aggs_cache", None)
+        if cached is not None:
+            return cached
         aggs = []
         for p in range(self.log_partitions):
             cond = F.col("partition_id") == p
@@ -229,6 +252,7 @@ class ReplicateJob:
                 F.max(F.when(cond, F.col("event_seq"))).alias(f"max_{p}"),
                 F.sum(F.when(cond, F.octet_length("content"))).alias(f"bytes_{p}"),
             ]
+        self._stats_aggs_cache = aggs
         return aggs
 
     def _apply_dml(self, batch_id: int, lo: int, hi: int, events: DataFrame) -> int:
@@ -357,19 +381,32 @@ class ReplicateJob:
         content = F.col("content")
         if self.normalize:
             content = normalize_content(content)
+        # The select list depends only on the target schema (which can
+        # evolve mid-stream) and the normalize/hash flags — cache it
+        # keyed on the schema so steady-state batches skip the
+        # expression rebuild (py4j round trips; fixed-cost slice).
         target = self.table().schema
-        cols = []
-        for fld in target.fields:
-            if fld.name == "content_sha256":
-                cols.append(content_sha256(content).alias("content_sha256"))
-            elif fld.name == "content":
-                cols.append(content.alias("content"))
-            elif fld.name == "last_event_seq":
-                cols.append(F.col("event_seq").cast("bigint").alias("last_event_seq"))
-            elif fld.name in _PAYLOAD_COLS:
-                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
-            else:  # evolved column the log payload doesn't carry
-                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        schema_key = tuple((f.name, f.dataType.simpleString()) for f in target.fields)
+        cached = getattr(self, "_changes_cols_cache", None)
+        if cached is not None and cached[0] == schema_key:
+            cols = cached[1]
+        else:
+            hasher = (
+                content_sha256 if self.hash_impl == "pandas" else content_sha256_builtin
+            )
+            cols = []
+            for fld in target.fields:
+                if fld.name == "content_sha256":
+                    cols.append(hasher(content).alias("content_sha256"))
+                elif fld.name == "content":
+                    cols.append(content.alias("content"))
+                elif fld.name == "last_event_seq":
+                    cols.append(F.col("event_seq").cast("bigint").alias("last_event_seq"))
+                elif fld.name in _PAYLOAD_COLS:
+                    cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                else:  # evolved column the log payload doesn't carry
+                    cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            self._changes_cols_cache = (schema_key, cols)
         return deduped.select(*cols, F.col("__deleted"))
 
     # -------------------------------------------------------------- DDL
@@ -465,4 +502,7 @@ def generated_source(**gen_kwargs) -> Callable[[SparkSession, int, int], DataFra
     def read(spark: SparkSession, lo: int, hi: int) -> DataFrame:
         return generate_events(spark, hi - lo, start_seq=lo + 1, **gen_kwargs)
 
+    # without ddl_every the generator emits DML only — advertise it so
+    # run() can skip the per-run DDL position scan entirely
+    read.no_ddl = not gen_kwargs.get("ddl_every")
     return read

@@ -52,6 +52,16 @@ BARRIER_TYPES = DDL_TYPES + ("import",)
 
 _LANGS = ["py", "go", "java", "md", "rs", "c", "ts"]
 
+# Column-expression memo for the generator. Every generated column is a
+# pure expression over the ``event_seq`` column (never over the range
+# bounds), so the whole select list is REUSABLE across batches. Building
+# it costs hundreds of py4j round trips (~0.6 s per batch at 1 pinned
+# core — measured; the largest single slice of the replay loop's fixed
+# per-batch cost); with the memo a batch slice pays 3 py4j calls
+# (range + rename + select). Keyed on every parameter the expressions
+# close over.
+_GEN_COLS_CACHE: dict[tuple, list] = {}
+
 
 def generate_events(
     spark: SparkSession,
@@ -75,6 +85,16 @@ def generate_events(
     (partition 0), exercising the DDL-before-DML ordering rule.
     """
     df = spark.range(start_seq, start_seq + n_events).withColumnRenamed("id", "event_seq")
+    # applicationId in the key: cached Columns wrap JVM expression
+    # objects, which die with the JVM — a fresh session must not reuse a
+    # dead gateway's references
+    key = (spark.sparkContext.applicationId, num_partitions, num_keys,
+           seed, ddl_every, hot_repo_pct, content_repeat)
+    cached = _GEN_COLS_CACHE.get(key)
+    if cached is not None:
+        cols1, cols2 = cached
+        out = df.select(*cols1)
+        return out.select(*cols2) if cols2 is not None else out
     s = F.lit(seed)
 
     # -- key identity: key_id -> (repo, path, lang), Zipf-ish hot repo.
@@ -115,7 +135,7 @@ def generate_events(
     partition_id = F.pmod(F.xxhash64(repo), F.lit(num_partitions)).cast("int")
     event_ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("event_seq"))
 
-    out = df.select(
+    cols1 = [
         partition_id.alias("partition_id"),
         F.col("event_seq"),
         event_type.alias("event_type"),
@@ -126,7 +146,9 @@ def generate_events(
         F.when(~is_delete, content).alias("content"),
         F.lit(None).cast("string").alias("schema_change"),
         event_ts.alias("event_ts"),
-    )
+    ]
+    cols2 = None
+    out = df.select(*cols1)
 
     if ddl_every:
         # Rewrite every ddl_every-th event into an add_column DDL event in
@@ -139,9 +161,9 @@ def generate_events(
             col_ix,
             F.lit('","type":"string"}'),
         )
-        out = out.select(
+        cols2 = [
             F.when(is_ddl, F.lit(0)).otherwise(F.col("partition_id")).alias("partition_id"),
-            "event_seq",
+            F.col("event_seq"),
             F.when(is_ddl, F.lit("add_column")).otherwise(F.col("event_type")).alias("event_type"),
             F.when(is_ddl, F.lit(None)).otherwise(F.col("repo")).alias("repo"),
             F.when(is_ddl, F.lit(None)).otherwise(F.col("path")).alias("path"),
@@ -149,9 +171,11 @@ def generate_events(
             F.when(is_ddl, F.lit(None)).otherwise(F.col("lang")).alias("lang"),
             F.when(is_ddl, F.lit(None)).otherwise(F.col("content")).alias("content"),
             F.when(is_ddl, schema_change).otherwise(F.lit(None)).alias("schema_change"),
-            "event_ts",
-        )
+            F.col("event_ts"),
+        ]
+        out = out.select(*cols2)
 
+    _GEN_COLS_CACHE[key] = (cols1, cols2)
     return out
 
 

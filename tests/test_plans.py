@@ -72,7 +72,12 @@ def test_dedup_single_exchange_and_map_side_combine(spark):
 
 
 def test_mor_merge_plan_has_single_shuffle(spark, tmp_base):
-    """The whole hot path (dedup + sha UDF + delta write) = ONE exchange.
+    """The whole hot path (dedup + sha256 + delta write) = ONE exchange,
+    and with the default builtin hasher the plan is entirely JVM-side —
+    no Python eval node of any kind (sha2 runs inside whole-stage
+    codegen; the r5 fixed-cost work). The pandas hasher stays available
+    (hash_impl="pandas"): vectorized ArrowEvalPython, same single
+    exchange, and row-at-a-time BatchEvalPython never appears on either.
 
     Captured by building the exact changes plan the merge writes."""
     log = os.path.join(tmp_base, "log")
@@ -87,12 +92,21 @@ def test_mor_merge_plan_has_single_shuffle(spark, tmp_base):
     dml = parquet_source(log)(spark, -1, 2999).filter(
         F.col("event_type").isin("insert", "update", "delete")
     )
-    changes = job._build_changes(dml)
-    plan = _plan(changes)
+    plan = _plan(job._build_changes(dml))
     assert plan.count("Exchange") == 1, plan
-    assert "ArrowEvalPython" in plan  # the vectorized sha256 UDF
-    # no row-at-a-time python: BatchEvalPython never appears
-    assert "BatchEvalPython" not in plan
+    assert "EvalPython" not in plan, plan  # default path: zero Python
+    assert "sha2" in plan
+
+    job_pd = ReplicateJob(
+        spark=spark, source=parquet_source(log),
+        table_root=os.path.join(tmp_base, "tbl"),
+        metastore=Metastore(os.path.join(tmp_base, "meta")),
+        num_buckets=8, hash_impl="pandas",
+    )
+    plan_pd = _plan(job_pd._build_changes(dml))
+    assert plan_pd.count("Exchange") == 1, plan_pd
+    assert "ArrowEvalPython" in plan_pd  # the vectorized sha256 UDF
+    assert "BatchEvalPython" not in plan_pd
 
 
 def test_scope_filter_pushes_into_scan(spark, tmp_base):

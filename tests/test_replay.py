@@ -58,6 +58,16 @@ def test_full_replay_matches_oracle(spark, tmp_base, log_path):
         assert r["last_event_seq"] == s["last_event_seq"]
 
 
+def test_replay_hash_impls_identical(spark, tmp_base, log_path):
+    """The builtin (JVM sha2, the r5 default) and pandas-UDF hashers
+    must yield byte-identical final table state — the per-row sha256
+    invariant cannot depend on which execution path computed it."""
+    a = _run(spark, os.path.join(tmp_base, "a"), log_path)  # builtin
+    b = _run(spark, os.path.join(tmp_base, "b"), log_path, hash_impl="pandas")
+    ha, hb = engine_hashes(a.table().read()), engine_hashes(b.table().read())
+    assert ha == hb and ha == expected_hashes(spark.read.parquet(log_path).toPandas())
+
+
 def test_lww_many_updates_single_batch(spark, tmp_base):
     """One key updated many times inside one batch → winner is max seq.
     (FIXTURES.md generation rule: 'at least one key with many updates in
