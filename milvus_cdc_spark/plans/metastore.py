@@ -189,9 +189,21 @@ class Metastore(MetastoreBackend):
         return out
 
     def _append_rows(self, table: str, rows: list[dict[str, Any]]) -> None:
-        with open(os.path.join(self.root, f"{table}.jsonl"), "a") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+        # One os.write on an O_APPEND fd per call: concurrent router
+        # threads share this metastore's audit files, and buffered
+        # appends can flush mid-line, interleaving torn JSON rows
+        # (ADVICE r4 #2). A single write to an O_APPEND regular file is
+        # offset-atomic, so whole payloads interleave, never fragments.
+        payload = "".join(json.dumps(r) + "\n" for r in rows).encode()
+        fd = os.open(
+            os.path.join(self.root, f"{table}.jsonl"),
+            os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+            0o644,
+        )
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
 
     def _audit_rows(self, table: str) -> list[dict[str, Any]]:
         p = os.path.join(self.root, f"{table}.jsonl")
@@ -244,9 +256,14 @@ class SqliteMetastore(MetastoreBackend):
             os.makedirs(parent, exist_ok=True)
         self.path = path
         self._lock = _threading.Lock()
-        self._conn = sqlite3.connect(path, check_same_thread=False)
+        # 60 s lock wait (connect timeout + busy_timeout): sqlite's 5 s
+        # default surfaces 'database is locked' under a sustained writer
+        # in another process, failing a batch mid-pipeline (ADVICE r4
+        # #3); a CDC commit section is worth waiting a minute for.
+        self._conn = sqlite3.connect(path, timeout=60.0, check_same_thread=False)
         with self._lock, self._conn:
             self._conn.execute("PRAGMA journal_mode=WAL")
+            self._conn.execute("PRAGMA busy_timeout=60000")
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS state ("
                 " kind TEXT NOT NULL, key TEXT NOT NULL, state TEXT NOT NULL,"

@@ -137,9 +137,17 @@ class RollupJob:
                 affected = sorted(
                     r[0]
                     for r in partials.select(
-                        # window_start is an instant (timestamp) —
-                        # placement_expr's default time_type
-                        placement_expr(snap.bucket_formula, KEYS, sub).alias("b")
+                        # same cast discipline as win_day above: the
+                        # partials' window_start may be timestamp_ntz,
+                        # so cast through TIMESTAMP before placement —
+                        # matching both placement_expr's default
+                        # time_type and the target table's timestamp
+                        # leading key (ADVICE r4 #1)
+                        placement_expr(
+                            snap.bucket_formula,
+                            [F.col(KEYS[0]).cast("timestamp"), *KEYS[1:]],
+                            sub,
+                        ).alias("b")
                     ).distinct().collect()
                 )
             else:

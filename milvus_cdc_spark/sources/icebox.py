@@ -948,15 +948,26 @@ class IceboxTable:
 
 
 def _placement(snap: Snapshot, key_cols: list, num_buckets: int):
-    """The table's bucket expression with the leading key's TYPE resolved
-    from the current schema — timehash placement is computed differently
-    for instants (UTC epoch arithmetic) vs zone-free date/ntz calendar
-    fields, so every icebox write path must pass the type through
-    (``functions/hashing.py:placement_expr`` documents why)."""
+    """The table's bucket expression with every key column CAST to its
+    schema type first, and the leading key's TYPE resolved from the
+    current schema — timehash placement is computed differently for
+    instants (UTC epoch arithmetic) vs zone-free date/ntz calendar
+    fields (``functions/hashing.py:placement_expr`` documents why), and
+    murmur3 hashes int/bigint (or ntz/instant) encodings of the same
+    value differently. merge() computes placement on the PRE-cast
+    changes (the target-schema cast happens later in the write select),
+    so without this cast a caller whose column types differ from the
+    table's would mis-place or fail analysis (ADVICE r4 #1). Catalyst
+    removes the cast when types already match (every read-side caller)."""
+    sch = snap.schema()
+    cols = [
+        F.col(c).cast(sch[c].dataType) if isinstance(c, str) else c
+        for c in key_cols
+    ]
     tt = None
     if snap.bucket_formula.startswith("timehash:"):
-        tt = snap.schema()[key_cols[0]].dataType.simpleString()
-    return placement_expr(snap.bucket_formula, key_cols, num_buckets, time_type=tt)
+        tt = sch[key_cols[0]].dataType.simpleString()
+    return placement_expr(snap.bucket_formula, cols, num_buckets, time_type=tt)
 
 
 _COMMIT_LOCKS: dict[str, threading.Lock] = {}

@@ -5,7 +5,9 @@ import os
 import subprocess
 import sys
 
-from milvus_cdc_spark.plans.metastore import Metastore
+import pytest
+
+from milvus_cdc_spark.plans.metastore import Metastore, SqliteMetastore
 from milvus_cdc_spark.plans.router import MultiTableRouter, Route
 from milvus_cdc_spark.plans.apply import parquet_source
 from milvus_cdc_spark.sources.event_log import generate_events, write_event_log
@@ -194,17 +196,25 @@ def test_anchored_exact_scopes_fully_decidable(spark, tmp_base):
     mk(["^org1/repo5$", "org2/"])
 
 
-def test_router_concurrent_routes_with_error_isolation(spark, tmp_base):
-    """VERDICT r3 #8: concurrent=True advances routes in parallel driver
-    threads; a route that fails mid-run reports an error in its own slot
-    and stops advancing, while the other route completes and its final
-    state matches the oracle."""
+@pytest.mark.parametrize("backend", ["json", "sqlite"])
+def test_router_concurrent_routes_with_error_isolation(spark, tmp_base, backend):
+    """VERDICT r3 #8 / r4 #5: concurrent=True advances routes in parallel
+    driver threads; a route that fails mid-run reports an error in its own
+    slot and stops advancing, while the other route completes and its
+    final state matches the oracle. Parametrized over metastore backends:
+    N route threads × ONE shared store is exactly the topology the
+    sqlite driver's per-instance mutex (and the JSON driver's atomic
+    os.replace + single-write O_APPEND audit appends) must serialize."""
+    if backend == "sqlite":
+        metastore = SqliteMetastore(os.path.join(tmp_base, "meta.db"))
+    else:
+        metastore = Metastore(os.path.join(tmp_base, "meta"))
     log = os.path.join(tmp_base, "log")
     write_event_log(generate_events(spark, 3000, num_keys=300), log)
     router = MultiTableRouter(
         spark,
         parquet_source(log),
-        Metastore(os.path.join(tmp_base, "meta")),
+        metastore,
         routes=[
             Route("org0", os.path.join(tmp_base, "t0"), r"^org0/"),
             Route("rest", os.path.join(tmp_base, "t1"), r"^org[^0]/"),
@@ -250,3 +260,11 @@ def test_router_concurrent_routes_with_error_isolation(spark, tmp_base):
     exp1 = {k: v for k, v in expected_hashes(pdf).items() if not k[0].startswith("org0/")}
     got1 = engine_hashes(IceboxTable(spark, os.path.join(tmp_base, "t1")).read())
     assert got1 == exp1
+
+    # shared audit tables intact under concurrent per-route appends:
+    # every row parses (no torn JSON lines) and carries the full schema
+    lineage = metastore._audit_rows("lineage")
+    assert lineage and all(
+        {"task_id", "batch_id", "snapshot_id"} <= set(r) for r in lineage
+    )
+    assert {r["task_id"] for r in lineage} == {"route-org0", "route-rest"}

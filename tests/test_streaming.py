@@ -300,3 +300,44 @@ def test_lag_discovery_reads_only_new_footers(spark, tmp_base, monkeypatch):
     reads.clear()
     assert rep._max_available_seq() == 1499
     assert reads == []
+
+    # VERDICT r4 #3: deleting files (compaction/GC analog) evicts their
+    # cache entries — the cache tracks LIVE files, not files-ever
+    live_before = len(rep._footer_cache)
+    victims = [p for p in list(rep._footer_cache) if "/log/" in p][:1]
+    assert victims
+    for v in victims:
+        os.remove(v)
+    rep._max_available_seq()
+    assert len(rep._footer_cache) == live_before - len(victims)
+    assert all(v not in rep._footer_cache for v in victims)
+
+
+def test_lag_discovery_does_not_cache_transient_read_failures(
+    spark, tmp_base, monkeypatch
+):
+    """ADVICE r4 #4: a transient footer-read error (EMFILE/EIO) on an
+    immutable, finished file must NOT be cached — its (mtime, size) never
+    changes, so a cached failure would exclude that file's max event_seq
+    from the lag baseline for the life of the replicator. The failing
+    file is skipped for the epoch and re-read (successfully) on the
+    next one."""
+    _write_chunk(spark, tmp_base, 0, 1000)
+    rep = _mk(spark, tmp_base)
+    orig = StreamingReplicator._read_footer_max
+    poisoned: set[str] = set()
+
+    def flaky(path):
+        if path not in poisoned:
+            poisoned.add(path)
+            raise OSError(24, "too many open files (injected)")
+        return orig(path)
+
+    monkeypatch.setattr(StreamingReplicator, "_read_footer_max", staticmethod(flaky))
+    # epoch 1: every footer read fails once → nothing cached, no crash
+    assert rep._max_available_seq() is None
+    assert rep._footer_cache == {}
+    # epoch 2: same immutable files re-read and now cached with real maxes
+    assert rep._max_available_seq() == 999
+    assert len(rep._footer_cache) >= 2
+    assert all(mx is not None for (_k, mx) in rep._footer_cache.values())
