@@ -13,7 +13,10 @@ Usage:
   python -m milvus_cdc_spark list    --meta DIR
   python -m milvus_cdc_spark delete  --meta DIR --task ID
   python -m milvus_cdc_spark compact --table DIR
-"""
+  python -m milvus_cdc_spark serve   --meta DIR --port 8444
+
+``serve`` starts the HTTP front (``server.py``) over the same
+TaskManager — the reference's POST /cdc endpoint shape."""
 
 from __future__ import annotations
 
@@ -26,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="milvus_cdc_spark")
     p.add_argument("verb", choices=[
         "create", "run", "pause", "resume", "get", "position", "list",
-        "delete", "compact", "rebucket", "expire",
+        "delete", "compact", "rebucket", "expire", "serve",
     ])
     p.add_argument("--meta", help="metastore directory")
     p.add_argument("--task", help="task id")
@@ -41,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--start-seq", type=int, default=None,
                    help="create: seed the checkpoint at this seq (user start position)")
     p.add_argument("--master", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8444)
     a = p.parse_args(argv)
 
     from milvus_cdc_spark.session import get_spark
@@ -50,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
         from milvus_cdc_spark.plans.task import TaskManager
 
         return TaskManager(get_spark(master=a.master), Metastore(a.meta))
+
+    if a.verb == "serve":
+        from milvus_cdc_spark.plans.metastore import Metastore
+        from milvus_cdc_spark.server import serve
+
+        serve(get_spark(master=a.master), Metastore(a.meta),
+              host=a.host, port=a.port)
+        return 0
 
     out: object
     if a.verb == "create":
