@@ -227,6 +227,158 @@ GATE_GRANT = 4.0   # cpu-grant 4v1 ≥ this → host provides 4 vCPUs' cycles
 GATE_MEMBW = 5.0   # GB/s post-warm streaming copy ≥ this → bandwidth healthy
 
 
+# ---------------------------------------------------------------------------
+# Round-5 protocol: INTERLEAVED MICRO-SLICES (VERDICT r4 #1).
+#
+# Round 4 demonstrated (host_probe_curve.json, 21 launch-gated pairs → 1
+# green) that this host's CPU grant decorrelates on a MINUTES timescale:
+# a pair whose two multi-minute legs must share one host state can
+# almost never be witnessed green end-to-end. The fix the r4 verdict
+# prescribes is to change the unit of measurement, not the gate: run
+# each level as SHORT slices (fresh pinned JVM each, ~25-35 s of steady
+# work) interleaved ABBA / BAAB, so (a) host drift cancels at slice
+# granularity the way adjacent pairs cancelled it at pair granularity,
+# (b) each level samples the same minutes-scale host states, and (c) the
+# whole pair + its three probes fits inside the stability window the
+# host actually holds. Per level the estimator is
+#
+#     ev/s = sum(steady events over its slices) / sum(steady wall s)
+#
+# and alongside wall-clock each slice records the CPU-seconds consumed
+# by its whole process tree (bench.py samples /proc at the segment
+# boundaries), giving a host-noise-robust secondary statistic:
+#
+#     eff_cpu = (ev per CPU-s at 4 cores) / (ev per CPU-s at 1 core)
+#
+# — ideal 1.0; it measures work inflation under parallelism and is
+# immune to cycles the host failed to grant (stolen cycles stretch wall
+# time, not CPU time consumed).
+# ---------------------------------------------------------------------------
+SLICE_STEADY = 3_000_000   # steady events per slice (one batch, ~30 s @1c)
+SLICE_WARM = 500_000       # warm-up batch (excluded from the window)
+
+
+def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
+              batch: int | None = None) -> dict:
+    """One micro-slice: fresh taskset-pinned JVM, one small warm-up
+    batch, ONE steady window over every remaining event as a single
+    batch. Returns the steady window's {events, wall_s, cpu_s, eps,
+    eps_cpu}."""
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_CPUS": str(cores),
+        "BENCH_EVENTS": str(warm + steady),
+        "BENCH_BATCH": str(warm),
+        "BENCH_WARMUP": str(warm),
+        "BENCH_KEYS": str(N_KEYS),
+        "BENCH_CONTENT_REPEAT": str(CONTENT_REPEAT),
+        "BENCH_BUCKETS": str(N_BUCKETS),
+        "BENCH_SKIP_QUERIES": "1",
+        "BENCH_SLICE": "1",
+    }
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+        sys.executable, os.path.join(REPO, "bench.py"),
+    ]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    seg = rec["segments_detail"][0]
+    seg["cores"] = cores
+    return seg
+
+
+def interleaved_pair(
+    low_cores: int, high_cores: int, slices_per_level: int = 2,
+    steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
+    order: str = "low_first",
+    probe_before: dict | None = None,
+) -> dict:
+    """One interleaved micro-slice pair: counterbalanced ABBA (or BAAB)
+    slice order so first-order host drift cancels within the pair, with
+    probes before / mid / after (green = all three pass the launch
+    gate). Summed-window throughput per level, wall and CPU."""
+    if probe_before is None:
+        probe_before = machine_probe()
+    a, b = (low_cores, high_cores)
+    if order == "high_first":
+        a, b = b, a
+    # counterbalanced: ABBA repeated — each level equally often in
+    # 1st/2nd position and equally often following each level
+    n = 2 * slices_per_level
+    seq = ([a, b, b, a] * ((n + 3) // 4))[:n]
+    slices: list[dict] = []
+    probe_mid = None
+    for i, cores in enumerate(seq):
+        if i == len(seq) // 2:
+            probe_mid = machine_probe()
+        slices.append(run_slice(cores, steady, warm))
+    probe_after = machine_probe()
+
+    def level(cores: int) -> dict:
+        ss = [s for s in slices if s["cores"] == cores]
+        ev = sum(s["events"] for s in ss)
+        wall = sum(s["wall_s"] for s in ss)
+        cpu = sum(s["cpu_s"] for s in ss)
+        return {
+            "slices": len(ss), "events": ev,
+            "wall_s": round(wall, 3), "cpu_s": round(cpu, 3),
+            "eps": round(ev / wall, 1) if wall > 0 else None,
+            "eps_cpu": round(ev / cpu, 1) if cpu > 0 else None,
+        }
+
+    lo, hi = level(low_cores), level(high_cores)
+    ratio = high_cores / low_cores
+    return {
+        "protocol": "interleaved_micro_slices",
+        "low_cores": low_cores, "high_cores": high_cores,
+        "slice_order": seq, "order": order,
+        "slice_steady_events": steady, "slice_warm_events": warm,
+        "low": lo["eps"], "high": hi["eps"],
+        "low_level": lo, "high_level": hi,
+        "efficiency": round((hi["eps"] / lo["eps"]) / ratio, 3),
+        # CPU-normalized: ideal 1.0 (no work inflation at 4×); robust to
+        # grant fluctuation because stolen cycles don't consume CPU time
+        "efficiency_cpu": round(hi["eps_cpu"] / lo["eps_cpu"], 3),
+        "slices_raw": slices,
+        "probe_before": probe_before, "probe_mid": probe_mid,
+        "probe_after": probe_after,
+        "ts": time.time(),
+    }
+
+
+def gated_interleaved_pair(
+    outdir: str, low: int = 1, high: int = 4,
+    slices_per_level: int = 2, order: str = "low_first",
+    max_wait_s: float = 150.0, sleep_s: float = 30.0,
+) -> dict:
+    """Wait (bounded) for the host to pass the launch gate, then run ONE
+    interleaved micro-slice pair and persist it to ``outdir``."""
+    os.makedirs(outdir, exist_ok=True)
+    waited = 0.0
+    probes = []
+    while True:
+        probe = machine_probe()
+        probes.append(probe)
+        if probe_ok(probe):
+            break
+        if waited >= max_wait_s:
+            return {"skipped": True, "probes": probes}
+        time.sleep(sleep_s)
+        waited += sleep_s
+    p = interleaved_pair(
+        low, high, slices_per_level=slices_per_level, order=order,
+        probe_before=probe,
+    )
+    p["green"] = pair_green(p)
+    p["gate"] = {"grant": GATE_GRANT, "membw_gbps": GATE_MEMBW}
+    path = os.path.join(outdir, f"pair-{int(p['ts'])}.json")
+    with open(path, "w") as f:
+        json.dump(p, f)
+    p["path"] = path
+    return p
+
+
 def probe_ok(probe: dict) -> bool:
     """The launch/green criterion — fixed BEFORE any measurement, a pure
     function of the probe (never of the measured efficiency)."""
@@ -317,6 +469,206 @@ def gated_headline(
     with open(out_path, "w") as f:
         json.dump(rec, f)
     return rec
+
+
+def compose_r5(outdir: str, headline_path: str | None = None) -> dict:
+    """Headline from an interleaved-micro-slice session (round-5
+    protocol): every launched pair recorded; the headline is the median
+    efficiency over GREEN pairs (launch gate + mid + closing probe —
+    criterion fixed up front), with the CPU-time-normalized efficiency
+    median alongside. Writes BENCH/BASELINE.md."""
+    pairs = []
+    for fn in sorted(os.listdir(outdir)):
+        if fn.startswith("pair-") and fn.endswith(".json"):
+            with open(os.path.join(outdir, fn)) as f:
+                p = json.load(f)
+            if p.get("protocol") == "interleaved_micro_slices":
+                pairs.append(p)
+    if not pairs:
+        raise SystemExit(f"no interleaved pair files in {outdir}")
+    green = [p for p in pairs if p.get("green") or pair_green(p)]
+    effs_all = [p["efficiency"] for p in pairs]
+    effs_green = [p["efficiency"] for p in green]
+    cpu_all = [p["efficiency_cpu"] for p in pairs]
+    cpu_green = [p["efficiency_cpu"] for p in green]
+    best = max(pairs, key=lambda p: p["efficiency"])
+    result = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(statistics.median(effs_green), 3) if effs_green else None,
+        "unit": "ratio",
+        "protocol": "interleaved_micro_slices",
+        "green_pairs": len(green),
+        "launched_pairs": len(pairs),
+        "value_all_launched_median": round(statistics.median(effs_all), 3),
+        "value_best_pair": best["efficiency"],
+        "value_cpu_green_median": (
+            round(statistics.median(cpu_green), 3) if cpu_green else None
+        ),
+        "value_cpu_all_median": round(statistics.median(cpu_all), 3),
+        "pair_efficiencies": effs_green,
+        "pairs": [
+            {
+                "low": p["low"], "high": p["high"],
+                "efficiency": p["efficiency"],
+                "efficiency_cpu": p["efficiency_cpu"],
+                "green": bool(p.get("green") or pair_green(p)),
+                "order": p.get("order"),
+                "cpu_grant": _grant(p),
+            }
+            for p in pairs
+        ],
+        "low_cores": pairs[0]["low_cores"],
+        "high_cores": pairs[0]["high_cores"],
+        "slice_steady_events": pairs[0]["slice_steady_events"],
+        "slices_per_level": len(pairs[0]["slice_order"]) // 2,
+    }
+    write_md_r5(result, pairs, headline_path)
+    return result
+
+
+def write_md_r5(result: dict, pairs: list[dict], headline_path: str | None) -> None:
+    low_cores, high_cores = result["low_cores"], result["high_cores"]
+
+    def _probes(p):
+        out = [p.get("probe_before"), p.get("probe_mid"), p.get("probe_after")]
+        return [pr for pr in out if pr is not None]
+
+    def grant(p):
+        return "/".join(str((pr or {}).get("cpu_grant_4v1", "?")) for pr in _probes(p))
+
+    def bw(p):
+        return "/".join(str((pr or {}).get("membw_gbps", "?")) for pr in _probes(p))
+
+    rows = "\n".join(
+        f"| {i} | {p['low']:,.0f} | {p['high']:,.0f} | {p['efficiency']:.3f} "
+        f"| {p['efficiency_cpu']:.3f} "
+        f"| {'yes' if (p.get('green') or pair_green(p)) else 'NO'} "
+        f"| {p.get('order', 'low_first')} | {grant(p)} | {bw(p)} |"
+        for i, p in enumerate(pairs)
+    )
+    headline_note = ""
+    if headline_path and os.path.exists(headline_path):
+        with open(headline_path) as f:
+            h = json.load(f)
+        segs = h.get("segments") or []
+        spread = (max(segs) / min(segs)) if segs and min(segs) > 0 else None
+        headline_note = f"""
+## Replay headline on a probe-green, segment-stable window (local[32])
+
+`{os.path.basename(headline_path)}` — bench.py's standard protocol run
+when the health gate passed AND kept only if its steady segments agree
+within 25% (VERDICT r4 #2's stability criterion — a 6× within-run swing
+is not a steady state, whatever the probes say):
+**{h.get("value"):,.0f} events/sec best segment, {h.get("value_median"):,.0f}
+median** (segments {segs}, spread {spread if spread is None else round(spread, 2)}×,
+{h.get("replay_events_total"):,} events; probes bracketing the run
+recorded in the file).
+"""
+    md = f"""# BENCH/BASELINE.md — measured performance (this engine)
+
+Generated by `python BENCH/run_scaling.py --compose-r5` (INTERLEAVED
+MICRO-SLICE protocol, VERDICT r4 #1) on
+{time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())}, single host (32 HW
+threads, 125 GiB RAM), PySpark local mode, fresh taskset-pinned JVM per
+slice.
+
+## CDC replay throughput (the BASELINE.json headline metric)
+
+Deterministic seeded change-event log ({N_KEYS:,} keys, ~600 B content
+rows, one hot repo holding 30% of events, 70/25/5 insert-update/delete/
+re-insert mix), generated lazily — never materialized — and replayed
+through the full pipeline: scope/type filters → LWW dedup (hash agg,
+map-side combine, bucket-aligned single shuffle) → JVM-side sha256
+(whole-stage codegen; the Arrow pandas-UDF path remains as an option,
+byte-identical, test-pinned) → icebox merge-on-read delta commit (+
+amortized per-bucket compaction) → per-partition checkpoint + lineage +
+metrics rows per batch (stats piggybacked on the merge job via
+Observation — zero extra passes). First batch excluded as warm-up.
+{headline_note}
+## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)
+
+Round 4 demonstrated (BENCH/host_probe_curve.json; 21 launch-gated
+pairs → 1 green) that this host's CPU grant decorrelates on a MINUTES
+timescale, so a pair whose two multi-minute legs must share one host
+state can almost never be witnessed green end-to-end. Round 5 changes
+the unit of measurement, not the gate (VERDICT r4 #1): each level runs
+as SHORT slices (fresh pinned JVM, one small warm-up batch, ONE
+~30 s steady single-batch window) interleaved ABBA / BAAB inside the
+pair, so host drift cancels at slice granularity and a whole pair +
+its three probes fits inside the stability window the host actually
+holds (~2.5-3.5 min). Per level:
+
+    ev/s = sum(steady events over its slices) / sum(steady wall seconds)
+    efficiency = (ev/s at {high_cores} cores / ev/s at {low_cores} core) / {high_cores}
+
+The launch gate is UNCHANGED from round 4 (pre-registered continuity):
+**cpu-grant 4v1 ≥ {GATE_GRANT}** (median of three samples; ideal 4.0) and
+**mem-bw ≥ {GATE_MEMBW} GB/s**, probed before / mid-pair / after; a pair
+is green only when all three probes pass. The criterion is a pure
+function of the probes, fixed before any measurement.
+
+Alongside wall-clock, each slice records the CPU-seconds its whole
+process tree consumed (sampled from /proc at the steady-window
+boundaries): **eff_cpu = (events per CPU-second at {high_cores} cores) /
+(events per CPU-second at {low_cores} core)** — ideal 1.0; it measures
+work inflation under parallelism and is robust to host grant swings
+(stolen cycles stretch wall time, not CPU time consumed) — the
+secondary statistic VERDICT r4 #1(c) prescribed.
+
+All launched pairs, chronological, none dropped
+({result["slice_steady_events"]:,} steady events/slice,
+{result["slices_per_level"]} slices per level per pair):
+
+| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | eff (wall) | eff (cpu) | green | order | cpu-grant 4v1 (b/m/a) | mem-bw GB/s |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+**Median wall-clock efficiency over probe-green pairs:
+{result["value"]}** ({result["green_pairs"]} green of
+{result["launched_pairs"]} launched; all-launched median
+{result["value_all_launched_median"]}; best pair
+{result["value_best_pair"]:.3f}). **Median CPU-normalized efficiency:
+green {result["value_cpu_green_median"]}, all
+{result["value_cpu_all_median"]}** (ideal 1.0).
+
+## Why pinned {low_cores}→{high_cores} cores (and not local[8]→local[32])
+
+1. `local[N]` bounds task slots only; GC/shuffle/compression threads and
+   pyspark UDF workers still use all 32 HW threads. Measured: unpinned
+   local[8] ≈ pinned local[8] ≈ 220k ev/s. Pinning with `taskset -c`
+   makes the levels genuinely N-core machines.
+2. Above ~8 pinned cores this single box stops scaling because one
+   host's memory bandwidth and page cache are shared across all
+   "executors" — the one resource a real cluster multiplies with every
+   added executor. Every stage of the plan (generation/scan, dedup
+   hash agg, sha256, bucket-partitioned delta write) is
+   partition-parallel with no driver-side row processing and exactly one
+   shuffle per batch, so added executors add throughput the way added
+   local threads past bandwidth saturation cannot.
+
+## Round-5 engine changes measured by this protocol
+
+The per-batch FIXED cost (serial driver time: py4j expression building,
+plan analysis, commit) was profiled and halved this round — 10.5 s →
+~5 s per batch at 1 pinned core — by (a) memoizing the generator's
+column expressions (~0.6 s/batch), the Observation aggregates and the
+merge select list (~1 s/batch), (b) defaulting sha256 to the JVM
+builtin (`sha2`) instead of the Arrow pandas UDF (~2.3 s per 500k rows
+at 1 core; byte-identical, both impls test-pinned), and (c) skipping
+the per-run DDL scan for DDL-free generated sources. This serial
+fraction is exactly the Amdahl term that caps micro-batch CDC at high
+executor counts — reducing it is a deployment win, not a benchmark
+trick (the per-query bench numbers improved correspondingly).
+
+## Correctness anchor
+
+The measured code path is the same one `tests/test_replay.py` and
+`tests/test_resume.py` verify against the pure-pandas oracle (per-key
+sha256(content) equality after full replay, kill/resume at every batch
+boundary) — `python -m pytest -x -q`.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
 
 
 def compose_gated(outdir: str) -> dict:
@@ -656,6 +1008,21 @@ every batch boundary) — `python -m pytest -x -q`.
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--slice":
+        cores = int(sys.argv[2])
+        steady = int(sys.argv[3]) if len(sys.argv) > 3 else SLICE_STEADY
+        warm = int(sys.argv[4]) if len(sys.argv) > 4 else SLICE_WARM
+        print(json.dumps(run_slice(cores, steady, warm)))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--interleaved-pair":
+        outdir = sys.argv[2]
+        order = sys.argv[3] if len(sys.argv) > 3 else "low_first"
+        spl = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        print(json.dumps(gated_interleaved_pair(outdir, order=order,
+                                                slices_per_level=spl)))
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--gated-pair":
         outdir = sys.argv[2]
         events = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000_000
@@ -663,6 +1030,12 @@ def main() -> None:
         low = int(sys.argv[5]) if len(sys.argv) > 5 else 1
         high = int(sys.argv[6]) if len(sys.argv) > 6 else 4
         print(json.dumps(gated_pair(outdir, events, batch, low, high)))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--compose-r5":
+        hp = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+            REPO, "BENCH", "headline_r5.json")
+        print(json.dumps(compose_r5(sys.argv[2], hp)))
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--compose-gated":
