@@ -280,6 +280,14 @@ def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
         "BENCH_BUCKETS": str(N_BUCKETS),
         "BENCH_SKIP_QUERIES": "1",
         "BENCH_SLICE": "1",
+        # Slices write their icebox table and shuffle files to tmpfs:
+        # this measures CPU scaling, and on-disk /tmp means ~200 MB of
+        # dirty pages per slice whose async writeback (30 s expiry —
+        # mid-slice) bleeds into the mid/after probes and reads as a
+        # sick host. bench.py rmtree's its workdir at exit, so RAM
+        # usage is transient (<1 GB against 125 GiB).
+        "TMPDIR": "/dev/shm",
+        "SPARK_LOCAL_DIRS": "/dev/shm",
     }
     cmd = [
         "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
@@ -312,13 +320,23 @@ def interleaved_pair(
     # 1st/2nd position and equally often following each level
     n = 2 * slices_per_level
     seq = ([a, b, b, a] * ((n + 3) // 4))[:n]
+    def _settled_probe() -> dict:
+        # Flush OUR residue before judging the HOST: a just-finished
+        # slice leaves dirty pages / exiting JVM threads whose async
+        # cleanup otherwise lands inside the probe and reads as a sick
+        # host (the r4/r5 sessions' recurring mid/after-probe failure
+        # pattern on probes taken seconds after a slice).
+        os.sync()
+        time.sleep(5)
+        return machine_probe()
+
     slices: list[dict] = []
     probe_mid = None
     for i, cores in enumerate(seq):
         if i == len(seq) // 2:
-            probe_mid = machine_probe()
+            probe_mid = _settled_probe()
         slices.append(run_slice(cores, steady, warm))
-    probe_after = machine_probe()
+    probe_after = _settled_probe()
 
     def level(cores: int) -> dict:
         ss = [s for s in slices if s["cores"] == cores]
