@@ -109,6 +109,7 @@ def main() -> None:
             num_buckets=n_buckets,
             collect_metrics=True,
             log_max_seq=n_events - 1,
+            dedup=os.environ.get("BENCH_DEDUP", "auto"),
         )
         # warm-up: first batch pays JVM/codegen warm-up. Then measure
         # steady segments — micro-slice mode (BENCH_SLICE=1) warms on a

@@ -87,6 +87,23 @@ class ReplicateJob:
     # Arrow round-trip on the hot path; ~2× faster per batch at 1 core).
     # "pandas": the vectorized Arrow UDF. Identical output (test-pinned).
     hash_impl: str = "builtin"
+    # Pre-merge LWW dedup strategy. "auto" (default): MoR sinks SKIP the
+    # dedup aggregation — the delta read path and minor compaction
+    # already resolve the max-seq winner per key (delete winners mask),
+    # so for a log with a unique per-key event_seq (the O2 contract the
+    # event log enforces by construction) the pre-shuffle ``max_by`` is
+    # a second copy of the same resolution. Skipping it removes the
+    # sort-based aggregation from the hot path (max_by over a wide
+    # struct buffer plans as SortAggregate — a full-width record sort
+    # whose memory traffic is the worst-scaling stage of the batch at
+    # 4× parallelism) at the cost of writing duplicate-key rows into
+    # the delta (resolved on read, squashed by the next minor
+    # compaction — bounded write amplification, the standard LSM
+    # trade). CoW merges still dedup: their single-shuffle winner
+    # resolution REQUIRES ≤1 change row per key. Forced values: "agg" /
+    # "window" (always dedup, see operators/dedup.py), "skip" (never —
+    # caller asserts unique seqs and a MoR sink).
+    dedup: str = "auto"
     collect_metrics: bool = True
     log_max_seq: int | None = None  # for lag computation
     _table: IceboxTable | None = field(default=None, repr=False)
@@ -377,7 +394,22 @@ class ReplicateJob:
             dml = dml.withColumn(
                 "repo", F.coalesce(mapping[F.col("repo")], F.col("repo"))
             )
-        deduped = lww_dedup(dml, KEY_COLS, num_partitions=self.num_buckets)
+        mode = self.dedup
+        if mode == "auto":
+            mode = "skip" if self.table().snap.write_mode == "mor" else "agg"
+        if mode == "skip":
+            # MoR fast path: co-locate by key (partition index == bucket
+            # id, same single shuffle the dedup pinned) and tag deletes;
+            # winner resolution is the sink's read/compaction max-by-seq
+            # (icebox._resolve / _compact_buckets) — see the ``dedup``
+            # field docstring for the contract.
+            deduped = dml.repartition(self.num_buckets, *KEY_COLS).withColumn(
+                "__deleted", F.col("event_type") == F.lit("delete")
+            )
+        else:
+            deduped = lww_dedup(
+                dml, KEY_COLS, impl=mode, num_partitions=self.num_buckets
+            )
         content = F.col("content")
         if self.normalize:
             content = normalize_content(content)

@@ -54,6 +54,14 @@ def get_spark(
         # files.maxPartitionBytes default 128m is right for the 100 TB
         # target; do not shrink it for local tests.
     )
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        # JSON {"spark.key": "value"} — lets subprocess harnesses (bench
+        # diagnostics, event-log captures) inject conf without a code path
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
