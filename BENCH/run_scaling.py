@@ -420,6 +420,42 @@ def pair_green(p: dict) -> bool:
     return all(probe_ok(pr or {}) for pr in probes)
 
 
+SELF_WITNESS_SPREAD_MAX = 1.25  # same constant as the headline's
+                                # steady-state criterion (r5_session.py)
+
+
+def pair_slice_spreads(p: dict) -> dict[int, float | None]:
+    """Per-level within-pair agreement: max/min of the level's own slice
+    throughputs. The measurement witnessing itself."""
+    out: dict[int, float | None] = {}
+    for cores in (p["low_cores"], p["high_cores"]):
+        eps = [s["eps"] for s in p.get("slices_raw", []) if s["cores"] == cores]
+        out[cores] = round(max(eps) / min(eps), 3) if len(eps) >= 2 and min(eps) > 0 else None
+    return out
+
+
+def pair_self_witnessed(p: dict) -> bool:
+    """SECONDARY stability criterion (disclosed alongside, never
+    replacing, the pre-registered probe gate): a pair is self-witnessed
+    when EACH level's own interleaved slices agree within
+    ``SELF_WITNESS_SPREAD_MAX`` — the same ≤1.25× trailing-window
+    agreement the replay headline requires for "steady state" (VERDICT
+    r4 #2), applied to the scaling pair's slices. Rationale: the
+    bracketing probes sample the host at three instants — two of them
+    seconds after a heavy leg, where this host's measured
+    load-sag/idle-recover behavior biases the grant reading low
+    (run_pair docstring; BENCH/host_probe_curve.json) — whereas slice
+    agreement is measured ON the workload DURING the measurement
+    itself. In the ABBA order a mid-pair capacity shift splits the
+    slices of at least one level apart, so drift is detected without
+    any post-load probe bias. A pair can be probe-green and
+    self-witnessed, either, or neither; all four cells are reported."""
+    spreads = pair_slice_spreads(p)
+    return all(
+        s is not None and s <= SELF_WITNESS_SPREAD_MAX for s in spreads.values()
+    )
+
+
 def gated_pair(
     outdir: str, events: int, batch: int, low: int, high: int,
     max_wait_s: float = 150.0, sleep_s: float = 30.0,
@@ -510,10 +546,13 @@ def compose_r5(outdir: str, headline_path: str | None = None) -> dict:
     if not pairs:
         raise SystemExit(f"no interleaved pair files in {outdir}")
     green = [p for p in pairs if p.get("green") or pair_green(p)]
+    witnessed = [p for p in pairs if pair_self_witnessed(p)]
     effs_all = [p["efficiency"] for p in pairs]
     effs_green = [p["efficiency"] for p in green]
     cpu_all = [p["efficiency_cpu"] for p in pairs]
     cpu_green = [p["efficiency_cpu"] for p in green]
+    effs_wit = [p["efficiency"] for p in witnessed]
+    cpu_wit = [p["efficiency_cpu"] for p in witnessed]
     best = max(pairs, key=lambda p: p["efficiency"])
     result = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -528,6 +567,15 @@ def compose_r5(outdir: str, headline_path: str | None = None) -> dict:
             round(statistics.median(cpu_green), 3) if cpu_green else None
         ),
         "value_cpu_all_median": round(statistics.median(cpu_all), 3),
+        # secondary, disclosed criterion: within-pair slice agreement
+        # (pair_self_witnessed) — never replaces the probe gate
+        "self_witnessed_pairs": len(witnessed),
+        "value_self_witnessed_median": (
+            round(statistics.median(effs_wit), 3) if effs_wit else None
+        ),
+        "value_cpu_self_witnessed_median": (
+            round(statistics.median(cpu_wit), 3) if cpu_wit else None
+        ),
         "pair_efficiencies": effs_green,
         "pairs": [
             {
@@ -535,6 +583,8 @@ def compose_r5(outdir: str, headline_path: str | None = None) -> dict:
                 "efficiency": p["efficiency"],
                 "efficiency_cpu": p["efficiency_cpu"],
                 "green": bool(p.get("green") or pair_green(p)),
+                "self_witnessed": pair_self_witnessed(p),
+                "slice_spreads": pair_slice_spreads(p),
                 "order": p.get("order"),
                 "cpu_grant": _grant(p),
             }
@@ -562,10 +612,18 @@ def write_md_r5(result: dict, pairs: list[dict], headline_path: str | None) -> N
     def bw(p):
         return "/".join(str((pr or {}).get("membw_gbps", "?")) for pr in _probes(p))
 
+    def spreads(p):
+        s = pair_slice_spreads(p)
+        return "/".join(
+            "?" if s[c] is None else f"{s[c]:.2f}"
+            for c in (p["low_cores"], p["high_cores"])
+        )
+
     rows = "\n".join(
         f"| {i} | {p['low']:,.0f} | {p['high']:,.0f} | {p['efficiency']:.3f} "
         f"| {p['efficiency_cpu']:.3f} "
         f"| {'yes' if (p.get('green') or pair_green(p)) else 'NO'} "
+        f"| {'yes' if pair_self_witnessed(p) else 'NO'} | {spreads(p)} "
         f"| {p.get('order', 'low_first')} | {grant(p)} | {bw(p)} |"
         for i, p in enumerate(pairs)
     )
@@ -650,8 +708,8 @@ All launched pairs, chronological, none dropped
 ({result["slice_steady_events"]:,} steady events/slice,
 {result["slices_per_level"]} slices per level per pair):
 
-| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | eff (wall) | eff (cpu) | green | order | cpu-grant 4v1 (b/m/a) | mem-bw GB/s |
-|---|---|---|---|---|---|---|---|---|
+| pair | {low_cores}-core ev/s | {high_cores}-core ev/s | eff (wall) | eff (cpu) | green | self-wit | slice spread lo/hi | order | cpu-grant 4v1 (b/m/a) | mem-bw GB/s |
+|---|---|---|---|---|---|---|---|---|---|---|
 {rows}
 
 **Median wall-clock efficiency over probe-green pairs:
@@ -661,6 +719,30 @@ All launched pairs, chronological, none dropped
 {result["value_best_pair"]:.3f}). **Median CPU-normalized efficiency:
 green {result["value_cpu_green_median"]}, all
 {result["value_cpu_all_median"]}** (ideal 1.0).
+
+### Secondary criterion: the measurement witnessing itself
+
+The probe gate samples the host at three instants, two of them seconds
+after a heavy leg — where this host's measured load-sag/idle-recover
+behavior (BENCH/host_probe_curve.json: grant 3.17-4.29 on an idle box)
+biases the reading low. The **self-witness** column applies the SAME
+stability test the replay headline is required to pass (trailing
+segments agreeing within 25%, VERDICT r4 #2) to the pair's own slices:
+a pair is self-witnessed when each level's interleaved slices agree
+within {SELF_WITNESS_SPREAD_MAX}× — drift detection measured ON the
+workload DURING the measurement, immune to post-load probe bias. In the
+ABBA slice order a mid-pair capacity shift necessarily splits at least
+one level's slices apart, so a quiet-looking pair measured across a
+host swing cannot pass. This criterion is mechanical (`pair_self_
+witnessed`, fixed constant shared with the headline criterion),
+reported for EVERY launched pair, and is disclosed alongside — never in
+place of — the pre-registered probe gate above.
+
+**Median efficiency over self-witnessed pairs: wall
+{result["value_self_witnessed_median"]}, CPU-normalized
+{result["value_cpu_self_witnessed_median"]}**
+({result["self_witnessed_pairs"]} of {result["launched_pairs"]}
+launched).
 
 ## Why pinned {low_cores}→{high_cores} cores (and not local[8]→local[32])
 
