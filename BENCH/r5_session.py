@@ -27,6 +27,39 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Pre-registered calibrated gate BAND, derived from the same-day
+# estimator calibration (BENCH/calibrate_grant.py →
+# grant_calibration.json, run on this host before any pair launched).
+# The calibration showed the healthy state is a band, not a floor: a
+# verified-idle box reads grant 3.68-4.11, asymmetric co-tenant
+# contention reads HIGH (k1 6.44-7.22, k2 5.74-6.17 — the co-tenant
+# halves the 1-process baseline), and uniform degradation reads in-band
+# but also cancels in the pair's own efficiency ratio. Each bound is the
+# midpoint between the idle distribution's edge and the NEAREST measured
+# sick state with the same median-of-5 estimator:
+#   HI = (idle max + k2 min) / 2
+#   LO = (idle P5 + starved-mode reading) / 2, where the starved-mode
+#        reading (4-proc side granted < 4×1-proc; the mode that
+#        specifically suppresses the 4-core leg) is 2.63 — the only
+#        median-of-5 reading captured during real degradation
+#        (BENCH/r5/prelude-agg/pair-1786993479.json, probe_mid, whose
+#        pair measured eff 0.124 with a 370 s 4-core slice).
+# Fixed here at session start; run_scaling stamps the band into every
+# pair record, and records are always judged against their own stamp.
+_CAL = os.path.join(HERE, "grant_calibration.json")
+_STARVED_GRANT_OBSERVED = 2.63
+if "BENCH_GATE_GRANT_LO" not in os.environ and os.path.exists(_CAL):
+    with open(_CAL) as _f:
+        _c = json.load(_f)
+    _idle = sorted(r["grant"] for r in _c["baseline"])
+    _k2 = sorted(r["grant"] for r in _c["injected_k2"])
+    _p5 = _idle[max(0, int(0.05 * len(_idle)) - 1)]
+    _lo = round((_p5 + _STARVED_GRANT_OBSERVED) / 2, 2)
+    _hi = round((_idle[-1] + _k2[0]) / 2, 2)
+    os.environ["BENCH_GATE_GRANT_LO"] = str(_lo)
+    os.environ["BENCH_GATE_GRANT_HI"] = str(_hi)
+
 spec = importlib.util.spec_from_file_location("rs", os.path.join(HERE, "run_scaling.py"))
 rs = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(rs)
@@ -158,6 +191,16 @@ def try_headline() -> None:
 
 def main() -> None:
     os.makedirs(OUTDIR, exist_ok=True)
+    log({
+        "kind": "session_start",
+        "gate": {"grant": rs.GATE_GRANT, "grant_hi": rs.GATE_GRANT_HI,
+                 "membw_gbps": rs.GATE_MEMBW},
+        "gate_source": (
+            "calibrated band (grant_calibration.json)"
+            if os.environ.get("BENCH_GATE_GRANT_LO") else "default"
+        ),
+        "target_green": TARGET_GREEN, "budget_s": BUDGET_S,
+    })
     t0 = time.time()
     attempt = 0
     while time.time() - t0 < BUDGET_S:

@@ -228,8 +228,26 @@ def run_pair(
     }
 
 
-GATE_GRANT = 4.0   # cpu-grant 4v1 ≥ this → host provides 4 vCPUs' cycles
-GATE_MEMBW = 5.0   # GB/s post-warm streaming copy ≥ this → bandwidth healthy
+# cpu-grant 4v1 gate. Historically a lower bound at 4.0 (rounds 3-4);
+# BENCH/calibrate_grant.py measured the ESTIMATOR's distribution on the
+# session host (idle baseline vs injected known-sick states,
+# grant_calibration.json) and showed the healthy state is a BAND, not a
+# floor: a verified-idle box reads 3.68-4.11 (the 4.0 floor fails a
+# HEALTHY host most of the time — the dominant cause of r4's
+# 1-green-of-21), while asymmetric co-tenant contention reads HIGH
+# (k=1 busy co-tenant: 6.4-7.2; k=2: 5.7-6.2 — the co-tenant halves the
+# 1-process baseline, inflating the ratio), and uniform degradation
+# (k=4) reads in-band because it cancels in the ratio exactly as it
+# cancels in the pair's own efficiency ratio. A session that uses a
+# calibrated band must derive and export it BEFORE launching any pair
+# (pre-registration); the gate actually applied is stamped into every
+# pair record and old records are always judged against their own
+# stamped gate.
+GATE_GRANT = float(  # lower bound (legacy name kept for old stamps)
+    os.environ.get("BENCH_GATE_GRANT_LO", os.environ.get("BENCH_GATE_GRANT", "4.0"))
+)
+GATE_GRANT_HI = float(os.environ.get("BENCH_GATE_GRANT_HI", "inf"))
+GATE_MEMBW = float(os.environ.get("BENCH_GATE_MEMBW", "5.0"))
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +412,8 @@ def gated_interleaved_pair(
         probe_before=probe,
     )
     p["green"] = pair_green(p)
-    p["gate"] = {"grant": GATE_GRANT, "membw_gbps": GATE_MEMBW}
+    p["gate"] = {"grant": GATE_GRANT, "grant_hi": GATE_GRANT_HI,
+                 "membw_gbps": GATE_MEMBW}
     path = os.path.join(outdir, f"pair-{int(p['ts'])}.json")
     with open(path, "w") as f:
         json.dump(p, f)
@@ -404,20 +423,38 @@ def gated_interleaved_pair(
 
 def probe_ok(probe: dict) -> bool:
     """The launch/green criterion — fixed BEFORE any measurement, a pure
-    function of the probe (never of the measured efficiency)."""
+    function of the probe (never of the measured efficiency). The grant
+    criterion is a band: below GATE_GRANT the 4-process side is being
+    starved relative to 1 (the mode that specifically suppresses the
+    4-core leg); above GATE_GRANT_HI an asymmetric co-tenant is
+    suppressing the 1-process baseline (grant_calibration.json: injected
+    co-tenants read 5.7-7.2 vs idle 3.68-4.11)."""
+    g = probe.get("cpu_grant_4v1") or 0
     return (
-        (probe.get("cpu_grant_4v1") or 0) >= GATE_GRANT
+        GATE_GRANT <= g <= GATE_GRANT_HI
         and (probe.get("membw_gbps") or 0) >= GATE_MEMBW
     )
 
 
 def pair_green(p: dict) -> bool:
     """Probe-green pair: the host passed the gate on every recorded
-    bracketing probe (before/after, plus mid-pair when present)."""
+    bracketing probe (before/after, plus mid-pair when present). A pair
+    is judged against the gate STAMPED INTO ITS OWN RECORD at launch
+    time (falling back to the session gate only for pre-gate-stamp
+    records) — composing never re-grades old records with a newer
+    threshold."""
+    gate = p.get("gate") or {}
+    g_lo = gate.get("grant", GATE_GRANT)
+    g_hi = gate.get("grant_hi", GATE_GRANT_HI if not gate else float("inf"))
+    bw = gate.get("membw_gbps", GATE_MEMBW)
     probes = [p.get("probe_before"), p.get("probe_after")]
     if p.get("probe_mid") is not None:
         probes.append(p["probe_mid"])
-    return all(probe_ok(pr or {}) for pr in probes)
+    return all(
+        g_lo <= ((pr or {}).get("cpu_grant_4v1") or 0) <= g_hi
+        and ((pr or {}).get("membw_gbps") or 0) >= bw
+        for pr in probes
+    )
 
 
 SELF_WITNESS_SPREAD_MAX = 1.25  # same constant as the headline's
@@ -486,7 +523,8 @@ def gated_pair(
         order=order, settle_s=settle_s,
     )
     p["green"] = pair_green(p)
-    p["gate"] = {"grant": GATE_GRANT, "membw_gbps": GATE_MEMBW}
+    p["gate"] = {"grant": GATE_GRANT, "grant_hi": GATE_GRANT_HI,
+                 "membw_gbps": GATE_MEMBW}
     path = os.path.join(outdir, f"pair-{int(p['ts'])}.json")
     with open(path, "w") as f:
         json.dump(p, f)
@@ -599,6 +637,56 @@ def compose_r5(outdir: str, headline_path: str | None = None) -> dict:
     return result
 
 
+def _gate_provenance_note() -> str:
+    """Where the session's grant gate came from — calibrated (with the
+    derivation numbers, read back from grant_calibration.json) or the
+    round-3/4 default."""
+    cal = os.path.join(REPO, "BENCH", "grant_calibration.json")
+    if not os.environ.get("BENCH_GATE_GRANT_LO") or not os.path.exists(cal):
+        return """
+The grant threshold is the round-3/4 default (a 4.0 floor), carried
+forward unchanged."""
+    with open(cal) as f:
+        c = json.load(f)
+    s = c["summary"]
+    idle = sorted(r["grant"] for r in c["baseline"])
+    k1 = sorted(r["grant"] for r in c["injected_k1"])
+    k2 = sorted(r["grant"] for r in c["injected_k2"])
+    k4 = sorted(r["grant"] for r in c["injected_k4"])
+    return f"""
+The grant gate is a CALIBRATED BAND, not the historical 4.0 floor.
+`BENCH/calibrate_grant.py`, run on this host same-day and BEFORE any
+pair launched (raw samples: `BENCH/grant_calibration.json`), measured
+the estimator against known states and showed the floor was
+misconceived in both directions:
+
+- **verified-idle box**: grant reads {idle[0]}-{idle[-1]} (median
+  {s["baseline_median"]}, 16 probes) — the old ≥4.0 floor classifies a
+  HEALTHY host as sick most of the time, which is the dominant cause of
+  round 4's 1-green-of-21 outcome, not host sickness;
+- **injected asymmetric co-tenancy** (k busy processes pinned to the
+  probed cores) reads HIGH, not low — k=1: {k1[0]}-{k1[-1]}, k=2:
+  {k2[0]}-{k2[-1]} — because the co-tenant halves the 1-process
+  baseline and inflates the 4v1 ratio;
+- **uniform degradation** (k=4: {k4[0]}-{k4[-1]}) reads in-band because
+  it cancels in the ratio — exactly as a uniform slowdown cancels in
+  the pair's own N-vs-4N efficiency ratio, so it is benign for THIS
+  measurement.
+
+Each band edge is the midpoint between the idle distribution's edge and
+the nearest measured sick state under the same median-of-5 estimator:
+**HI = (idle max {idle[-1]} + k2 min {k2[0]}) / 2 = {GATE_GRANT_HI}**;
+**LO = (idle P5 {s["baseline_p5"]} + 2.63) / 2 = {GATE_GRANT}**, where
+2.63 is the starved-mode reading (4-proc side granted far less than
+4× the 1-proc side — the mode that suppresses the 4-core leg) captured
+during real degradation by `BENCH/r5/prelude-agg/pair-1786993479.json`
+(probe_mid; that pair measured eff 0.124 with a 370 s 4-core slice).
+The band was exported (`BENCH_GATE_GRANT_LO/HI`) and committed before
+the first pair of the session (pre-registration); every pair record
+carries the gate it was judged against, and composing never re-grades a
+record against a different gate."""
+
+
 def write_md_r5(result: dict, pairs: list[dict], headline_path: str | None) -> None:
     low_cores, high_cores = result["low_cores"], result["high_cores"]
 
@@ -690,11 +778,12 @@ holds (~2.5-3.5 min). Per level:
     ev/s = sum(steady events over its slices) / sum(steady wall seconds)
     efficiency = (ev/s at {high_cores} cores / ev/s at {low_cores} core) / {high_cores}
 
-The launch gate is UNCHANGED from round 4 (pre-registered continuity):
-**cpu-grant 4v1 ≥ {GATE_GRANT}** (median of three samples; ideal 4.0) and
-**mem-bw ≥ {GATE_MEMBW} GB/s**, probed before / mid-pair / after; a pair
-is green only when all three probes pass. The criterion is a pure
-function of the probes, fixed before any measurement.
+The launch gate is **cpu-grant 4v1 within [{GATE_GRANT},
+{GATE_GRANT_HI}]** (median of five samples; ideal 4.0) and **mem-bw ≥
+{GATE_MEMBW} GB/s**, probed before / mid-pair / after; a pair is green
+only when all three probes pass. The criterion is a pure function of
+the probes, fixed before any measurement.
+{_gate_provenance_note()}
 
 Alongside wall-clock, each slice records the CPU-seconds its whole
 process tree consumed (sampled from /proc at the steady-window
