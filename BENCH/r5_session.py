@@ -205,7 +205,13 @@ def main() -> None:
     attempt = 0
     while time.time() - t0 < BUDGET_S:
         g = n_green()
-        if g >= TARGET_GREEN and headline_ok():
+        # TARGET_GREEN is a MINIMUM, not a stopping rule: every launched
+        # pair is recorded and composed, so running the full budget adds
+        # evidence symmetrically (it can move the median either way) —
+        # stopping early on a lucky streak would be the selective thing.
+        if g >= TARGET_GREEN and headline_ok() and os.environ.get(
+            "R5_STOP_AT_TARGET"
+        ) == "1":
             break
         attempt += 1
         # pairs are the north-rule evidence and get most attempts;
