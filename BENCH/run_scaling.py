@@ -361,11 +361,25 @@ def interleaved_pair(
         ev = sum(s["events"] for s in ss)
         wall = sum(s["wall_s"] for s in ss)
         cpu = sum(s["cpu_s"] for s in ss)
+        import statistics
+
         return {
             "slices": len(ss), "events": ev,
             "wall_s": round(wall, 3), "cpu_s": round(cpu, 3),
             "eps": round(ev / wall, 1) if wall > 0 else None,
             "eps_cpu": round(ev / cpu, 1) if cpu > 0 else None,
+            # Robust per-level estimate (r5 DIAGNOSIS.md #2): the median
+            # slice survives a single in-pair host throttle window that
+            # the summed window cannot (one 10× stime storm poisons the
+            # sum; with >=3 slices the two clean ones out-vote it).
+            "eps_median": round(
+                statistics.median(s["eps"] for s in ss), 1
+            ) if ss else None,
+            "eps_cpu_median": round(
+                statistics.median(
+                    s["events"] / s["cpu_s"] for s in ss if s["cpu_s"] > 0
+                ), 1
+            ) if ss else None,
         }
 
     lo, hi = level(low_cores), level(high_cores)
@@ -381,6 +395,15 @@ def interleaved_pair(
         # CPU-normalized: ideal 1.0 (no work inflation at 4×); robust to
         # grant fluctuation because stolen cycles don't consume CPU time
         "efficiency_cpu": round(hi["eps_cpu"] / lo["eps_cpu"], 3),
+        # median-of-slices per level — the v2 primary when
+        # slices_per_level >= 3 (pre-registered in r5b_session.py; both
+        # aggregations always recorded)
+        "efficiency_median": round(
+            (hi["eps_median"] / lo["eps_median"]) / ratio, 3
+        ) if lo["eps_median"] and hi["eps_median"] else None,
+        "efficiency_cpu_median": round(
+            hi["eps_cpu_median"] / lo["eps_cpu_median"], 3
+        ) if lo["eps_cpu_median"] and hi["eps_cpu_median"] else None,
         "slices_raw": slices,
         "probe_before": probe_before, "probe_mid": probe_mid,
         "probe_after": probe_after,

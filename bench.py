@@ -38,14 +38,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def tree_cpu_seconds() -> float:
-    """utime+stime (seconds) of this process plus all LIVE descendants,
+def tree_cpu_split() -> tuple[float, float]:
+    """(utime, stime) seconds of this process plus all LIVE descendants,
     from one /proc pass. Descendants that exited between samples are
     undercounted (their CPU is charged to nobody); the JVM and reused
     pyspark daemon workers — where all measured work happens — persist
     across a segment, so the undercount is noise."""
     clk = os.sysconf("SC_CLK_TCK")
-    procs: dict[int, tuple[int, int]] = {}
+    procs: dict[int, tuple[int, int, int]] = {}
     for pid in os.listdir("/proc"):
         if not pid.isdigit():
             continue
@@ -57,17 +57,70 @@ def tree_cpu_seconds() -> float:
         rp = data.rfind(b")")  # comm can contain spaces/parens
         fields = data[rp + 2:].split()
         # after comm: [0]=state [1]=ppid ... [11]=utime [12]=stime
-        procs[int(pid)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+        procs[int(pid)] = (int(fields[1]), int(fields[11]), int(fields[12]))
     children: dict[int, list[int]] = {}
-    for pid, (ppid, _t) in procs.items():
+    for pid, (ppid, _u, _s) in procs.items():
         children.setdefault(ppid, []).append(pid)
-    total, stack = 0, [os.getpid()]
+    ut, st, stack = 0, 0, [os.getpid()]
     while stack:
         p = stack.pop()
         if p in procs:
-            total += procs[p][1]
+            ut += procs[p][1]
+            st += procs[p][2]
         stack.extend(children.get(p, []))
-    return total / clk
+    return ut / clk, st / clk
+
+
+def tree_cpu_seconds() -> float:
+    u, s = tree_cpu_split()
+    return u + s
+
+
+def percpu_stat() -> dict[int, list[int]]:
+    """Per-CPU jiffy counters for the CPUs this process is pinned to:
+    cpu -> [user, nice, system, idle, iowait, irq, softirq, steal]."""
+    pinned = os.sched_getaffinity(0)
+    out: dict[int, list[int]] = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3].isdigit():
+                parts = line.split()
+                n = int(parts[0][3:])
+                if n in pinned:
+                    out[n] = [int(x) for x in parts[1:9]]
+    return out
+
+
+def jvm_gc_jit_ms(spark) -> tuple[int, int]:
+    """Cumulative JVM GC collection time and JIT compilation time (ms)
+    via the management beans — distinguishes 'the JVM burned the CPU on
+    GC/JIT' from 'the host ran our instructions slowly' when a slice's
+    CPU-seconds inflate (BENCH/r5 collapse diagnosis)."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        gc = sum(
+            b.getCollectionTime()
+            for b in mf.getGarbageCollectorMXBeans()
+            if b.getCollectionTime() > 0
+        )
+        jit = mf.getCompilationMXBean().getTotalCompilationTime()
+        return int(gc), int(jit)
+    except Exception:
+        return -1, -1
+
+
+def _percpu_delta(a: dict[int, list[int]], b: dict[int, list[int]]) -> dict:
+    clk = os.sysconf("SC_CLK_TCK")
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    out = {}
+    for cpu in sorted(a):
+        if cpu in b:
+            out[str(cpu)] = {
+                n: round((b[cpu][i] - a[cpu][i]) / clk, 2)
+                for i, n in enumerate(names)
+                if b[cpu][i] - a[cpu][i] > 0
+            }
+    return out
 
 
 def main() -> None:
@@ -134,19 +187,30 @@ def main() -> None:
             n_steady = max((n_events // batch - 1) // 2, 1)
         segments = []
         while True:
-            cpu0 = tree_cpu_seconds()
+            u0, s0 = tree_cpu_split()
+            pc0 = percpu_stat()
+            gc0, jit0 = jvm_gc_jit_ms(spark)
             t0 = time.time()
             res = job.run(until_seq=n_events - 1, max_batches=n_steady)
             dt = time.time() - t0
-            dcpu = tree_cpu_seconds() - cpu0
+            u1, s1 = tree_cpu_split()
+            gc1, jit1 = jvm_gc_jit_ms(spark)
+            diag = {
+                "utime_s": round(u1 - u0, 2),
+                "stime_s": round(s1 - s0, 2),
+                "gc_ms": gc1 - gc0 if gc0 >= 0 else None,
+                "jit_ms": jit1 - jit0 if jit0 >= 0 else None,
+                "cpus": _percpu_delta(pc0, percpu_stat()),
+            }
+            dcpu = (u1 - u0) + (s1 - s0)
             if res["batches"] == 0:
                 break
             segments.append(
-                (res["events_applied"] / dt if dt > 0 else 0.0, res, dt, dcpu)
+                (res["events_applied"] / dt if dt > 0 else 0.0, res, dt, dcpu, diag)
             )
             if res["final_offset"] >= n_events - 1:
                 break
-        eps, res, dt, dcpu = max(segments, key=lambda s: s[0])
+        eps, res, dt, dcpu, _diag = max(segments, key=lambda s: s[0])
         steady_events = res["events_applied"]
         # median alongside best: best-of is the steal-robust headline,
         # median is the number that survives scrutiny (they converge on a
@@ -172,6 +236,7 @@ def main() -> None:
                 "cpu_s": round(s[3], 3),
                 "eps": round(s[0], 1),
                 "eps_cpu": round(s[1]["events_applied"] / s[3], 1) if s[3] > 0 else None,
+                "diag": s[4],
             }
             for s in segments
         ],
