@@ -126,8 +126,12 @@ def _percpu_delta(a: dict[int, list[int]], b: dict[int, list[int]]) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_EVENTS", "4000000"))
-    batch = int(os.environ.get("BENCH_BATCH", "1000000"))
+    # 12M/2M defaults: this host ramps monotonically for the first
+    # ~minute of sustained demand (BENCH/r5/DIAGNOSIS.md), so a 4M-event
+    # run is all ramp — the longer default gives the trailing
+    # steady-state window (reported below) room to exist.
+    n_events = int(os.environ.get("BENCH_EVENTS", "12000000"))
+    batch = int(os.environ.get("BENCH_BATCH", "2000000"))
     n_keys = int(os.environ.get("BENCH_KEYS", str(max(n_events // 10, 1000))))
     content_repeat = int(os.environ.get("BENCH_CONTENT_REPEAT", "8"))
     n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(cpus * 2, 32))))
@@ -218,6 +222,28 @@ def main() -> None:
         import statistics
 
         eps_median = statistics.median(s[0] for s in segments)
+
+        # Trailing steady-state window (same pre-registered criterion as
+        # the round-5 session drivers): the longest trailing run of >= 2
+        # segments whose throughputs agree within 25% — what "sustained
+        # events/sec" means on a host that ramps at demand onset. None
+        # when the run never settles.
+        steady = None
+        for start in range(0, len(segments) - 1):
+            win = segments[start:]
+            rates = [s[0] for s in win]
+            if min(rates) > 0 and max(rates) / min(rates) <= 1.25:
+                ev = sum(s[1]["events_applied"] for s in win)
+                wall = sum(s[2] for s in win)
+                cpu = sum(s[3] for s in win)
+                steady = {
+                    "segments": len(win), "of_segments": len(segments),
+                    "events": ev, "wall_s": round(wall, 2),
+                    "eps": round(ev / wall, 1) if wall > 0 else None,
+                    "eps_cpu": round(ev / cpu, 1) if cpu > 0 else None,
+                    "spread": round(max(rates) / min(rates), 3),
+                }
+                break
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -240,6 +266,7 @@ def main() -> None:
             }
             for s in segments
         ],
+        "steady_window": steady,
         "queries": qtimes,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "replay_events_total": n_events,
