@@ -138,7 +138,19 @@ def main() -> None:
 
     from milvus_cdc_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    # BENCH_MASTER overrides the master URL (e.g. local-cluster[4,1,4096]
+    # — separate executor JVMs, the topology a real N-vs-4N-executor
+    # scaling measurement actually has); default stays local[cpus].
+    master = os.environ.get("BENCH_MASTER", f"local[{cpus}]")
+    extra = {}
+    if master.startswith("local-cluster"):
+        # executors are separate JVMs: they need the repo on the python
+        # path and enough memory for parquet+shuffle buffers
+        extra = {
+            "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+            "spark.memory.fraction": "0.6",
+        }
+    spark = get_spark(app_name="bench", master=master, extra_conf=extra)
 
     import __spark_entry__ as entry
 
@@ -157,9 +169,21 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
+        # Prepared-statement batching (BENCH_STABLE_PLAN=0 for the literal
+        # A/B): bounds travel as a broadcast row so every batch shares one
+        # compiled plan — the warm-up batch pays Janino+JIT once for the
+        # whole run. The cap must cover the largest window either mode
+        # issues (slice mode re-sizes the job to one big steady batch).
+        stable = None
+        if os.environ.get("BENCH_STABLE_PLAN", "1") == "1":
+            warm_env = int(os.environ.get("BENCH_WARMUP", str(batch)))
+            stable = max(batch, n_events - warm_env, 1)
         job = ReplicateJob(
             spark=spark,
-            source=generated_source(num_keys=n_keys, content_repeat=content_repeat),
+            source=generated_source(
+                stable_max_batch=stable,
+                num_keys=n_keys, content_repeat=content_repeat,
+            ),
             table_root=os.path.join(work, "tbl"),
             metastore=Metastore(os.path.join(work, "meta")),
             batch_size=batch,

@@ -237,7 +237,11 @@ class ReplicateJob:
 
         rows_in = 0
         if data_hi > lo:
-            rows_in = self._apply_dml(batch_id, lo, data_hi, events)
+            # exact_range source + uncapped batch: events already span
+            # exactly (lo, data_hi] — the re-slice filter would only add
+            # two codegen-inlined literals that defeat plan reuse
+            exact = bool(getattr(self.source, "exact_range", False)) and data_hi == hi
+            rows_in = self._apply_dml(batch_id, lo, data_hi, events, exact=exact)
 
         applied_hi = data_hi
         if ddl is not None:
@@ -272,11 +276,16 @@ class ReplicateJob:
         self._stats_aggs_cache = aggs
         return aggs
 
-    def _apply_dml(self, batch_id: int, lo: int, hi: int, events: DataFrame) -> int:
+    def _apply_dml(
+        self, batch_id: int, lo: int, hi: int, events: DataFrame, *,
+        exact: bool = False,
+    ) -> int:
         table = self.table()
-        dml = supported_dml(events).filter(
-            (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
-        )
+        dml = supported_dml(events)
+        if not exact:
+            dml = dml.filter(
+                (F.col("event_seq") > lo) & (F.col("event_seq") <= hi)
+            )
         # Hot-repo processing skew is structurally handled by the agg
         # dedup's MAP-SIDE combine (hot-key duplicates collapse before the
         # shuffle) + AQE skew splitting. Explicit salting is only worth an
@@ -525,16 +534,36 @@ def parquet_source(log_path: str) -> Callable[[SparkSession, int, int], DataFram
     return read
 
 
-def generated_source(**gen_kwargs) -> Callable[[SparkSession, int, int], DataFrame]:
+def generated_source(
+    stable_max_batch: int | None = None, **gen_kwargs
+) -> Callable[[SparkSession, int, int], DataFrame]:
     """Lazy generator source: every column is a pure function of
     event_seq, so slicing by seq range IS the seek — nothing materialized.
-    This is how the benchmark replays 10^8+ events."""
-    from milvus_cdc_spark.sources.event_log import generate_events
+    This is how the benchmark replays 10^8+ events.
+
+    ``stable_max_batch``: when set, windows are built with
+    :func:`stable_seq_range` — the batch bounds travel as a broadcast
+    one-row relation instead of codegen-inlined literals, so every batch
+    of the job shares ONE compiled plan (prepared-statement batching; the
+    per-batch Janino + JVM-JIT warm-up, ~8-12 s of compiler CPU, is paid
+    once instead of per batch). Pass the job's batch_size. Storage-backed
+    sources (``parquet_source``) keep literal bounds on purpose: there the
+    literals reach the scan as pushed filters, worth far more than a
+    cached plan.
+    """
+    from milvus_cdc_spark.sources.event_log import generate_events, stable_seq_range
 
     def read(spark: SparkSession, lo: int, hi: int) -> DataFrame:
+        if stable_max_batch is not None and hi - lo <= stable_max_batch:
+            seq = stable_seq_range(spark, lo, hi, stable_max_batch)
+            return generate_events(spark, hi - lo, seq_df=seq, **gen_kwargs)
         return generate_events(spark, hi - lo, start_seq=lo + 1, **gen_kwargs)
 
     # without ddl_every the generator emits DML only — advertise it so
     # run() can skip the per-run DDL position scan entirely
     read.no_ddl = not gen_kwargs.get("ddl_every")
+    # the window IS the data: (lo, hi] exactly, so the per-batch re-slice
+    # filter in _apply_dml is redundant (and its literals would defeat
+    # the stable plan)
+    read.exact_range = True
     return read

@@ -63,6 +63,43 @@ _LANGS = ["py", "go", "java", "md", "rs", "c", "ts"]
 _GEN_COLS_CACHE: dict[tuple, list] = {}
 
 
+def stable_seq_range(
+    spark: SparkSession, lo: int, hi: int, max_batch: int
+) -> DataFrame:
+    """``event_seq`` in (lo, hi] as a DataFrame whose generated code is
+    IDENTICAL for every (lo, hi] window with hi-lo <= max_batch.
+
+    The only codegen-inlined literal is ``max_batch`` (constant for the
+    job's life); the actual bounds travel as a broadcast one-row relation,
+    which whole-stage codegen reads through the broadcast variable rather
+    than inlining into source text. The width filter sits directly above
+    Range, BEFORE the generator's expensive projections, so a narrower
+    window (the warm-up batch, the final partial batch) costs only the
+    discarded raw longs (~5 ns each), not discarded md5/concat work.
+
+    Why it matters: Catalyst inlines primitive literals into generated
+    Java (``Literal.doGenCode``), so per-batch ``range(lo, hi)`` defeats
+    the codegen cache — every micro-batch pays Janino compilation plus
+    ~8-12 s of JVM JIT (measured: BENCH/r5b slice/headline diagnostics,
+    jit_ms per 2M-event batch at both 1 and 4 cores). At deployment batch
+    sizes (10^8 events) that is noise; at high batch rates it is the
+    dominant per-batch fixed cost. This helper makes the plan a true
+    PREPARED statement: compile once, bind bounds per batch.
+    """
+    n = hi - lo
+    if n > max_batch:
+        raise ValueError(f"window {n} exceeds stable max_batch {max_batch}")
+    bounds = F.broadcast(
+        spark.createDataFrame([(lo + 1, n)], "__start long, __n long")
+    )
+    return (
+        spark.range(0, max_batch)
+        .join(bounds)
+        .filter(F.col("id") < F.col("__n"))
+        .select((F.col("id") + F.col("__start")).alias("event_seq"))
+    )
+
+
 def generate_events(
     spark: SparkSession,
     n_events: int,
@@ -74,6 +111,7 @@ def generate_events(
     hot_repo_pct: int = 30,
     content_repeat: int = 8,
     start_seq: int = 0,
+    seq_df: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic synthetic change-event log as a lazy DataFrame.
 
@@ -83,8 +121,22 @@ def generate_events(
 
     ``ddl_every`` interleaves an ``add_column`` event every N seqs
     (partition 0), exercising the DDL-before-DML ordering rule.
+
+    ``seq_df`` (optional) supplies the ``event_seq`` column from a caller-
+    built DataFrame instead of ``spark.range(start_seq, ...)``. Callers use
+    it to keep the range bounds OUT of the generated code: Spark inlines
+    primitive literals into whole-stage-codegen source, so a per-batch
+    ``range(lo, hi)`` yields a brand-new Janino class every batch whose JIT
+    warm-up (~8-12 s of compiler CPU, measured in BENCH/r5b slice diags)
+    recurs for the life of the job. With bounds carried as DATA (broadcast
+    one-row join — see :func:`stable_seq_range`) the source text is
+    byte-identical across batches and the first batch's compilation is the
+    last. ``n_events``/``start_seq`` are ignored when ``seq_df`` is given.
     """
-    df = spark.range(start_seq, start_seq + n_events).withColumnRenamed("id", "event_seq")
+    if seq_df is not None:
+        df = seq_df
+    else:
+        df = spark.range(start_seq, start_seq + n_events).withColumnRenamed("id", "event_seq")
     # applicationId in the key: cached Columns wrap JVM expression
     # objects, which die with the JVM — a fresh session must not reuse a
     # dead gateway's references

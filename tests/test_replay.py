@@ -140,6 +140,32 @@ def test_generated_source_equals_parquet_source(spark, tmp_base, log_path):
     assert gen.exceptAll(mat).count() == 0 and mat.exceptAll(gen).count() == 0
 
 
+def test_stable_plan_source_equals_literal_source(spark, tmp_base, log_path):
+    """Prepared-statement batching (bounds as a broadcast row instead of
+    codegen-inlined literals) is a pure physical-plan change: the window
+    contents and the full replayed state are identical to the literal
+    path. Windows narrower than the cap (warm-up / final partial batch)
+    are exercised on purpose."""
+    lit = generated_source(num_keys=N_KEYS)(spark, 999, 2000)
+    stab = generated_source(num_keys=N_KEYS, stable_max_batch=1500)(spark, 999, 2000)
+    assert stab.exceptAll(lit).count() == 0 and lit.exceptAll(stab).count() == 0
+
+    # end-to-end: multi-batch replay (uniform batches + final partial)
+    # through the exact_range fast path reaches the same final state
+    tmp = os.path.join(tmp_base, "stable_plan")
+    job = ReplicateJob(
+        spark=spark,
+        source=generated_source(num_keys=N_KEYS, stable_max_batch=1500),
+        table_root=os.path.join(tmp, "tbl"),
+        metastore=Metastore(os.path.join(tmp, "meta")),
+        batch_size=1500,
+        num_buckets=8,
+    )
+    job.run(until_seq=N_EVENTS - 1)
+    pdf = spark.read.parquet(log_path).toPandas()
+    assert engine_hashes(job.table().read()) == expected_hashes(pdf)
+
+
 def test_skewed_hot_repo_replay(spark, tmp_base, log_path):
     """Salted path produces the identical final state as unsalted."""
     job = _run(spark, tmp_base, log_path, salt_factor=8)
