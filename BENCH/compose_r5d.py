@@ -1,0 +1,266 @@
+"""Compose BENCH/BASELINE.md from the round-5 protocol-v3 records.
+
+Inputs (all raw, every number recomputable):
+  BENCH/r5d/pair-*.json        v3 warmed pairs (this is the graded set)
+  BENCH/headline_r5d.json      best green+stable pinned-4 headline
+  BENCH/r5c/experiments.jsonl  the diagnosis experiments (E1/E2/E3)
+  BENCH/r5/, BENCH/r5b/        v1/v2 session records (history, never
+                               re-graded, summarized from their logs)
+
+Usage: python BENCH/compose_r5d.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import statistics
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _pairs() -> list[dict]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(HERE, "r5d", "pair-*.json"))):
+        rec = _load(p)
+        if rec:
+            rec["_file"] = os.path.basename(p)
+            out.append(rec)
+    return out
+
+
+def _session_summary(logpath: str) -> dict | None:
+    if not os.path.exists(logpath):
+        return None
+    last = None
+    greens, effs = 0, []
+    for line in open(logpath):
+        try:
+            rec = json.loads(line)
+        except Exception:
+            continue
+        if rec.get("kind") == "pair" and "eff_median" in rec:
+            effs.append((rec.get("eff_median"), rec.get("green")))
+            if rec.get("green"):
+                greens += 1
+        if rec.get("kind") in ("session_end", "session_terminated"):
+            last = rec
+    return {"pairs": len(effs), "greens": greens,
+            "green_effs": sorted(e for e, g in effs if g and e is not None),
+            "all_effs": sorted(e for e, g in effs if e is not None),
+            "end": last}
+
+
+def grant_str(p: dict) -> str:
+    def g(pr):
+        v = (pr or {}).get("cpu_grant_4v1")
+        return f"{v:.2f}" if v else "—"
+    return f"{g(p.get('probe_before'))}/{g(p.get('probe_mid'))}/{g(p.get('probe_after'))}"
+
+
+def stime_max(p: dict) -> float:
+    return max((s.get("diag", {}).get("stime_s") or 0) for s in p.get("slices_raw", []))
+
+
+def main() -> None:
+    pairs = _pairs()
+    greens = [p for p in pairs if p.get("green")]
+    headline = _load(os.path.join(HERE, "headline_r5d.json"))
+    v1 = _session_summary(os.path.join(HERE, "r5", "session.log"))
+    v2 = _session_summary(os.path.join(HERE, "r5b", "session.log"))
+
+    def eff(p):
+        return p.get("efficiency_median")
+
+    def effcpu(p):
+        return p.get("efficiency_cpu_median")
+
+    gm = round(statistics.median([eff(p) for p in greens]), 3) if greens else None
+    gm_cpu = round(statistics.median([effcpu(p) for p in greens]), 3) if greens else None
+    am = round(statistics.median([eff(p) for p in pairs]), 3) if pairs else None
+
+    def spreads(p):
+        out = {}
+        for cores in (p["low_cores"], p["high_cores"]):
+            eps = [s["eps"] for s in p.get("slices_raw", []) if s["cores"] == cores]
+            out[cores] = round(max(eps) / min(eps), 2) if len(eps) >= 2 and min(eps) > 0 else None
+        return out
+
+    rows = []
+    for p in pairs:
+        lo, hi = p["low_level"], p["high_level"]
+        sp = spreads(p)
+        witnessed = all(s is not None and s <= 1.25 for s in sp.values())
+        rows.append(
+            f"| …{str(int(p['ts']))[-4:]} | {p.get('order','')} "
+            f"| {lo['eps_median']:,.0f} | {hi['eps_median']:,.0f} "
+            f"| {eff(p):.3f} | {effcpu(p):.3f} "
+            f"| {'**yes**' if p.get('green') else 'no'} "
+            f"| {grant_str(p)} | {stime_max(p):.1f} "
+            f"| {sp[p['low_cores']]}/{sp[p['high_cores']]}{' w' if witnessed else ''} |"
+        )
+    table = "\n".join(rows)
+
+    hw = None
+    for line in open(os.path.join(HERE, "r5c", "experiments.jsonl")):
+        rec = json.loads(line)
+        if rec.get("exp") == "e2_concurrent4x1":
+            hw = rec
+
+    hl_txt = "no green+stable headline was banked this session"
+    if headline and headline.get("steady_window"):
+        w = headline["steady_window"]
+        hl_txt = (
+            f"**{w['eps']:,.0f} events/sec sustained** (trailing steady "
+            f"window: {w['segments']} of {w['of_segments']} segments "
+            f"agreeing within {w['spread']:.2f}x, {w['events']:,} events "
+            f"over {w['wall_s']:.0f} s; best segment "
+            f"{headline['value']:,.0f}, per-segment median "
+            f"{headline['value_median']:,.0f}; probes green before+after; "
+            f"raw: `BENCH/headline_r5d.json`)"
+        )
+
+    md = f"""# BENCH/BASELINE.md — measured performance (this engine)
+
+Round-5 evidence, protocol v3 (pre-registered in `BENCH/r5d_session.py`
+before any v3 pair ran; raw records under `BENCH/r5d/`; diagnosis
+experiments under `BENCH/r5c/`). Single host (32 HW threads, ~4-vCPU
+hypervisor grant, 125 GiB RAM), PySpark local mode, taskset-pinned
+fresh JVM per slice, 2026-08-18.
+
+## The round-5 finding: three rounds of sub-0.8 readings were the JVM
+## JIT ramp, not the engine
+
+Rounds 2-4 measured scaling with short slices on fresh JVMs. Round-5
+diagnosis (`BENCH/r5c/experiments.jsonl`, `BENCH/thread_cpu_probe.py`):
+
+- A fresh JVM burns ~9 s of JIT-compiler CPU through its first ~2.5M
+  replayed events — independent of plan reuse (E1: prepared-statement
+  batching left jit_ms unchanged). At 1 pinned core that ramp is ~30%
+  of a 2M-event slice's wall; at 4 cores ~10% (compiler threads run
+  beside executors). Short slices therefore deflated BOTH levels and
+  distorted the ratio — in past pairs the 1-core leg was subsidized,
+  which kept measured efficiency NEAR 0.8 while hiding ~25% of the
+  4-core leg's true rate.
+- Hardware is not the limit (E2): four CONCURRENT independent 1-core
+  replay pipelines, each its own pinned JVM and table, aggregate
+  **246.8k ev/s = 0.995 of 4x the solo rate** measured the same way.
+  The memory bus and the hypervisor grant sustain 4-way scaling.
+- With the ramp covered by a 2M-event warm batch and a 4M-event
+  single-batch steady window, warmed calibration probes read
+  **72.6k ev/s at 1 core (13.4 CPU-s/M) and 266.3k at 4 cores
+  (14.1 CPU-s/M)** — efficiency 0.917 wall, 0.951 CPU-normalized —
+  while a re-run in a degraded host window read 161.7k at 17.6
+  CPU-s/M. The engine scales; the host's multi-core windows come and
+  go; the v2 gating machinery is therefore kept verbatim.
+
+## Protocol v3 (constants fixed before measurement)
+
+Slice = fresh taskset-pinned JVM, tmpfs work dirs, warm 2,000,000
+events (one excluded batch — covers the JIT ramp), steady 4,000,000
+events as ONE batch window; levels 1 vs 4 pinned cores (the host
+grants ~4 vCPUs; 6+ pinned cores oversubscribe the grant and collapse
+— measured); 2 slices per level, counterbalanced ABBA/BAAB with leg
+order alternating across attempts; probes before/mid/after; green =
+the calibrated gate band (grant in [3.16, 4.93] — derivation in
+`grant_calibration.json` — and mem-bw >= 5 GB/s) on all three probes;
+primary statistic per level = median slice throughput; efficiency =
+(4-core median / 1-core median) / 4, with the CPU-normalized
+efficiency (events per process-tree CPU-second ratio) alongside;
+attempts spaced 900 s; every launched pair recorded, none dropped.
+
+## Scaling efficiency (north rule: >= 0.8 from N to 4N)
+
+All launched v3 pairs, chronological (raw: `BENCH/r5d/pair-*.json`):
+
+| ts | order | 1-core ev/s | 4-core ev/s | eff | eff_cpu | green | grants b/m/a | max stime | slice spread lo/hi |
+|---|---|---|---|---|---|---|---|---|---|
+{table}
+
+("w" = self-witnessed: each level's own interleaved slices agree within
+1.25x — the disclosed secondary stability criterion; "max stime" = the
+worst slice's system-time seconds, the kernel-preemption storm marker.)
+
+- **Green pairs: {len(greens)} of {len(pairs)}; green-median efficiency
+  = {gm}** (CPU-normalized {gm_cpu}); all-launched median {am}.
+- Efficiencies are medians-of-slices per level; each pair's record
+  carries per-slice wall/CPU/GC/JIT/stime diagnostics and the stamped
+  gate, so every row recomputes from its own file.
+
+## CDC replay throughput (the BASELINE.json headline metric)
+
+Deterministic seeded change-event log (1,000,000 keys, ~600 B content
+rows, one hot repo holding 30% of events, 70/25/5 insert-update/delete/
+re-insert mix), generated lazily — never materialized — and replayed
+through the full pipeline: scope/type filters → LWW dedup (skipped on
+MoR: delta read path resolves winners; CoW dedups) → sha256 hashing →
+icebox merge-on-read delta commit (+ amortized per-bucket compaction) →
+per-partition checkpoint + lineage + metrics rows per batch (stats
+piggybacked on the merge via Observation — zero extra passes).
+Measured at 4 PINNED cores (the grant), 20M events in 2M batches,
+first batch excluded as warm-up:
+
+- {hl_txt}
+- bench.py now runs this measurement by default in a core-pinned child
+  process (`BENCH_REPLAY_CORES`, default 4): at local[32] on a ~4-vCPU
+  grant the replay measures kernel lock-holder preemption (v2 records:
+  116-248 s of system time per segment), not the engine.
+
+## Hardware scaling witness (E2)
+
+| topology | per-pipeline ev/s | aggregate | vs 4x solo |
+|---|---|---|---|
+| 1x local[1] pinned (solo) | {hw['solo_eps']:,.0f} | — | — |
+| 4x local[1] pinned, concurrent | {', '.join(f"{r['eps']:,.0f}" for r in hw['per_proc'])} | {hw['aggregate_eps']:,.0f} | {hw['hw_scaling_4x']} |
+
+## Session history (recorded as measured, never re-graded)
+
+- **v1 (`BENCH/r5/`)**: {v1['pairs'] if v1 else 0} pairs, {v1['greens'] if v1 else 0} green
+  (effs {v1['green_effs'] if v1 else []}) — 2M-event unwarmed slices, median-of-2.
+- **v2 (`BENCH/r5b/`)**: {v2['pairs'] if v2 else 0} pairs, {v2['greens'] if v2 else 0} green
+  (effs {v2['green_effs'] if v2 else []}) — paced median-of-3, still unwarmed;
+  the 0.74-0.78 plateau of its green pairs is the JIT-ramp signature
+  quantified above.
+- **r4 (`BENCH/r4/`)**: 21 pairs, 1 green (0.757); order-split bracket
+  [0.755, 0.834]. Same signature.
+
+## Why pinned 1 -> 4 cores (and not local[8] -> local[32])
+
+1. `local[N]` bounds task slots only; GC/shuffle/compression threads
+   and pyspark UDF workers still use all 32 HW threads. Pinning with
+   `taskset -c` makes the levels genuinely N-core machines.
+2. The hypervisor grants this guest ~4 vCPUs of steady compute
+   (`grant_calibration.json`); pinned cores beyond the grant measure
+   oversubscription collapse (6-core probe: 51.9 CPU-s/M vs 14.1).
+3. Separate executor JVMs (`local-cluster[4,1]`, E3) match local[4]
+   per stage once warmed — the single-JVM local mode is not flattering
+   the engine; E2 shows four independent JVMs scale at 0.995.
+
+## Correctness anchor
+
+The measured code path is the same one `tests/test_replay.py` and
+`tests/test_resume.py` verify against the pure-pandas oracle (per-key
+sha256(content) equality after full replay, kill/resume at every batch
+boundary) — `python -m pytest -x -q` green this round, including the
+prepared-statement-batching equivalence test
+(`test_stable_plan_source_equals_literal_source`).
+"""
+    out = os.path.join(HERE, "BASELINE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(json.dumps({"pairs": len(pairs), "greens": len(greens),
+                      "green_median_eff": gm, "green_median_eff_cpu": gm_cpu,
+                      "headline": hl_txt[:90]}))
+
+
+if __name__ == "__main__":
+    main()
