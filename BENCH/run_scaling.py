@@ -324,11 +324,21 @@ def interleaved_pair(
     steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
     order: str = "low_first",
     probe_before: dict | None = None,
+    steady_by_cores: dict[int, int] | None = None,
+    warm_by_cores: dict[int, int] | None = None,
 ) -> dict:
     """One interleaved micro-slice pair: counterbalanced ABBA (or BAAB)
     slice order so first-order host drift cancels within the pair, with
     probes before / mid / after (green = all three pass the launch
-    gate). Summed-window throughput per level, wall and CPU."""
+    gate). Summed-window throughput per level, wall and CPU.
+
+    ``steady_by_cores`` / ``warm_by_cores`` (protocol v3.2): per-level
+    window sizes in EVENTS, chosen so both levels' warm and steady
+    windows cover the same WALL time. Equal-event windows give the
+    4-core level ~1/4 of the 1-core level's wall for the JIT ramp and
+    the host's demand-onset throttle lift (both measured, see
+    r5f_session.py), biasing the ratio; throughput is a rate, so
+    unequal event counts leave the estimand unchanged."""
     if probe_before is None:
         probe_before = machine_probe()
     a, b = (low_cores, high_cores)
@@ -353,7 +363,9 @@ def interleaved_pair(
     for i, cores in enumerate(seq):
         if i == len(seq) // 2:
             probe_mid = _settled_probe()
-        slices.append(run_slice(cores, steady, warm))
+        s = (steady_by_cores or {}).get(cores, steady)
+        w = (warm_by_cores or {}).get(cores, warm)
+        slices.append(run_slice(cores, s, w))
     probe_after = _settled_probe()
 
     def level(cores: int) -> dict:
@@ -388,7 +400,14 @@ def interleaved_pair(
         "protocol": "interleaved_micro_slices",
         "low_cores": low_cores, "high_cores": high_cores,
         "slice_order": seq, "order": order,
-        "slice_steady_events": steady, "slice_warm_events": warm,
+        "slice_steady_events": (
+            {str(k): v for k, v in steady_by_cores.items()}
+            if steady_by_cores else steady
+        ),
+        "slice_warm_events": (
+            {str(k): v for k, v in warm_by_cores.items()}
+            if warm_by_cores else warm
+        ),
         "low": lo["eps"], "high": hi["eps"],
         "low_level": lo, "high_level": hi,
         "efficiency": round((hi["eps"] / lo["eps"]) / ratio, 3),
