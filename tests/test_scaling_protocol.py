@@ -116,3 +116,45 @@ def test_slice_spreads_and_self_witness(rs):
     # one collapsed 4-core slice breaks the witness (spread > 1.25)
     p["slices_raw"][1]["eps"] = 50_000
     assert not rs.pair_self_witnessed(p)
+
+
+def test_wall_matched_pair_routes_per_level_windows(rs, monkeypatch):
+    """v3.2: interleaved_pair must hand each level ITS OWN warm/steady
+    window sizes (wall-matched events), keep the counterbalanced ABBAAB
+    slice order, and record the per-level maps in the pair record —
+    silent fallback to equal-event windows would reintroduce the regime
+    mismatch the amendment exists to remove."""
+    calls = []
+
+    def fake_run_slice(cores, steady, warm, batch=None):
+        calls.append((cores, steady, warm))
+        eps = 80_000.0 if cores == 1 else 250_000.0
+        events = steady
+        return {
+            "cores": cores, "events": events,
+            "wall_s": events / eps, "cpu_s": events / eps * cores,
+            "eps": eps, "diag": {},
+        }
+
+    monkeypatch.setattr(rs, "run_slice", fake_run_slice)
+    monkeypatch.setattr(rs, "machine_probe", lambda: {"cpu_grant_4v1": 4.0, "membw_gbps": 6.0})
+    monkeypatch.setattr(rs.time, "sleep", lambda s: None)
+    monkeypatch.setattr(rs.os, "sync", lambda: None)
+
+    steady_by = {1: 4_000_000, 4: 12_000_000}
+    warm_by = {1: 2_000_000, 4: 8_000_000}
+    p = rs.interleaved_pair(
+        1, 4, slices_per_level=3, order="low_first",
+        steady_by_cores=steady_by, warm_by_cores=warm_by,
+    )
+    # every slice got its level's windows
+    for cores, steady, warm in calls:
+        assert steady == steady_by[cores]
+        assert warm == warm_by[cores]
+    # counterbalanced ABBAAB, low level first
+    assert [c for c, _, _ in calls] == [1, 4, 4, 1, 1, 4]
+    # the record carries the per-level maps (recomputability)
+    assert p["slice_steady_events"] == {"1": 4_000_000, "4": 12_000_000}
+    assert p["slice_warm_events"] == {"1": 2_000_000, "4": 8_000_000}
+    # efficiency math unchanged by unequal event counts (rates ratio)
+    assert p["efficiency_median"] == pytest.approx((250_000 / 80_000) / 4, abs=1e-3)
