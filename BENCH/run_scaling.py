@@ -1323,3 +1323,39 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+STORM_STIME_FLOOR_S = 5.0    # below this, stime is normal syscall load
+STORM_STIME_FRAC = 0.10      # of the slice's steady-window CPU seconds
+
+
+def slice_storm_free(s: dict) -> bool:
+    """True when the slice's steady window did NOT take a
+    kernel-preemption storm. Clean pinned slices measure 1-3 s of
+    system time; storm-hit slices measure 12-819 s (r5e/r5f records) —
+    a two-orders-of-magnitude separation, so a fixed threshold of
+    max(5 s, 10% of the slice's CPU-seconds) cleanly splits them. A
+    pure function of the slice's own recorded diagnostics; thresholds
+    fixed in protocol v3.3 (r5g_session.py) and never re-tuned."""
+    st = (s.get("diag") or {}).get("stime_s")
+    if st is None:
+        return True  # pre-v3 records carry no stime diagnostics
+    return st <= max(STORM_STIME_FLOOR_S, STORM_STIME_FRAC * (s.get("cpu_s") or 0))
+
+
+def pair_storm_witnessed(p: dict, min_clean: int = 2) -> bool:
+    """v3.3 green component: each level's median must be a median of at
+    least ``min_clean`` storm-free slices. Motivation (recorded before
+    any v3.3 pair ran): v3.2 pair BENCH/r5f/pair-1787039956.json took
+    292/819/792 s-stime storms on ALL THREE 4-core slices while every
+    bracketing probe read healthy (grants 3.90/4.05/4.02) — the
+    median-of-3 cannot out-vote three storms, and a probes-only green
+    stamped a 0.142 'measurement' of the HOST onto the engine. The
+    criterion stays a pure function of the pair's own record; applied
+    retroactively to every prior v3.1 green it changes nothing (their
+    4-core levels all have >= 2 slices with stime <= 3 s)."""
+    for cores in (p["low_cores"], p["high_cores"]):
+        ss = [s for s in p.get("slices_raw", []) if s["cores"] == cores]
+        if sum(1 for s in ss if slice_storm_free(s)) < min_clean:
+            return False
+    return True

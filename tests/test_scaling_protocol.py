@@ -158,3 +158,34 @@ def test_wall_matched_pair_routes_per_level_windows(rs, monkeypatch):
     assert p["slice_warm_events"] == {"1": 2_000_000, "4": 8_000_000}
     # efficiency math unchanged by unequal event counts (rates ratio)
     assert p["efficiency_median"] == pytest.approx((250_000 / 80_000) / 4, abs=1e-3)
+
+
+def test_storm_witness_splits_clean_from_stormed_slices(rs):
+    """v3.3: green requires each level's median to rest on >= 2
+    storm-free slices; storm-free = steady stime <= max(5 s, 10% of the
+    slice's CPU-seconds). Thresholds are protocol constants — a drift
+    here would re-grade recorded pairs."""
+    def sl(cores, stime, cpu=30.0):
+        return {"cores": cores, "eps": 100_000.0, "cpu_s": cpu,
+                "diag": {"stime_s": stime}}
+
+    # clean pinned slices: 1-3 s stime
+    assert rs.slice_storm_free(sl(4, 1.5))
+    # the 5 s floor, not the 10% fraction, governs small windows
+    assert rs.slice_storm_free(sl(4, 4.9, cpu=20.0))
+    assert not rs.slice_storm_free(sl(4, 12.7, cpu=60.0))
+    # big windows: the 10% fraction governs
+    assert rs.slice_storm_free(sl(4, 28.0, cpu=300.0))
+    # records without diagnostics are not retroactively condemned
+    assert rs.slice_storm_free({"cores": 4, "eps": 1.0, "diag": {}})
+
+    clean, storm = sl(4, 1.3), sl(4, 292.7)
+    base = {"low_cores": 1, "high_cores": 4}
+    # two clean 4-core slices out-vote one storm -> witnessed
+    p = {**base, "slices_raw": [sl(1, 1.2), sl(1, 1.1), sl(1, 1.0),
+                                clean, dict(clean), storm]}
+    assert rs.pair_storm_witnessed(p)
+    # all three 4-core slices stormed (the r5f pair-1787039956 shape)
+    p = {**base, "slices_raw": [sl(1, 1.2), sl(1, 1.1), sl(1, 1.0),
+                                dict(storm), dict(storm), dict(storm)]}
+    assert not rs.pair_storm_witnessed(p)
