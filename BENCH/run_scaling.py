@@ -282,11 +282,21 @@ SLICE_WARM = 500_000       # warm-up batch (excluded from the window)
 
 
 def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
-              batch: int | None = None) -> dict:
+              batch: int | None = None, cluster: bool = False) -> dict:
     """One micro-slice: fresh taskset-pinned JVM, one small warm-up
     batch, ONE steady window over every remaining event as a single
     batch. Returns the steady window's {events, wall_s, cpu_s, eps,
-    eps_cpu}."""
+    eps_cpu}.
+
+    ``cluster=True`` (protocol v4): the level is a REAL N-executor
+    topology — ``local-cluster[cores,1,4096]``, each executor its own
+    JVM pinned to its own core (0..cores-1), the driver (constant
+    across levels, like a real cluster's driver node) pinned apart on
+    core 4. Separate executor address spaces also decouple the vCPUs
+    from the host's lock-holder-preemption storm mode that eats
+    sustained shared-JVM multi-core demand (measured: local[4] slices
+    stormed 20-819 s stime in the same hour local-cluster[4,1] slices
+    ran 3 s — BENCH/r5g/session.log vs the v4 calibration runs)."""
     env = {
         **os.environ,
         "SPARK_GRAFT_CPUS": str(cores),
@@ -307,10 +317,17 @@ def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
         "TMPDIR": "/dev/shm",
         "SPARK_LOCAL_DIRS": "/dev/shm",
     }
-    cmd = [
-        "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
-        sys.executable, os.path.join(REPO, "bench.py"),
-    ]
+    if cluster:
+        env["BENCH_MASTER"] = f"local-cluster[{cores},1,4096]"
+        env["BENCH_CLUSTER_PIN"] = f"4:0-{cores - 1}" if cores > 1 else "4:0"
+        env["BENCH_DIAG_CPUS"] = "0-4"
+        # bench.py pins the driver and each executor JVM itself
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    else:
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+            sys.executable, os.path.join(REPO, "bench.py"),
+        ]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
@@ -326,6 +343,7 @@ def interleaved_pair(
     probe_before: dict | None = None,
     steady_by_cores: dict[int, int] | None = None,
     warm_by_cores: dict[int, int] | None = None,
+    cluster: bool = False,
 ) -> dict:
     """One interleaved micro-slice pair: counterbalanced ABBA (or BAAB)
     slice order so first-order host drift cancels within the pair, with
@@ -365,7 +383,7 @@ def interleaved_pair(
             probe_mid = _settled_probe()
         s = (steady_by_cores or {}).get(cores, steady)
         w = (warm_by_cores or {}).get(cores, warm)
-        slices.append(run_slice(cores, s, w))
+        slices.append(run_slice(cores, s, w, cluster=cluster))
     probe_after = _settled_probe()
 
     def level(cores: int) -> dict:
@@ -398,6 +416,10 @@ def interleaved_pair(
     ratio = high_cores / low_cores
     return {
         "protocol": "interleaved_micro_slices",
+        "topology": (
+            "local-cluster[N,1,4096] — N executor JVMs, one pinned core "
+            "each, driver pinned apart on core 4"
+        ) if cluster else "local[N] taskset-pinned single JVM",
         "low_cores": low_cores, "high_cores": high_cores,
         "slice_order": seq, "order": order,
         "slice_steady_events": (

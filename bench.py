@@ -77,9 +77,16 @@ def tree_cpu_seconds() -> float:
 
 
 def percpu_stat() -> dict[int, list[int]]:
-    """Per-CPU jiffy counters for the CPUs this process is pinned to:
+    """Per-CPU jiffy counters for the CPUs this process is pinned to
+    (or BENCH_DIAG_CPUS="lo-hi" when the driver is pinned apart from
+    the executor cores it should witness):
     cpu -> [user, nice, system, idle, iowait, irq, softirq, steal]."""
-    pinned = os.sched_getaffinity(0)
+    rng = os.environ.get("BENCH_DIAG_CPUS")
+    if rng:
+        lo, _, hi = rng.partition("-")
+        pinned = set(range(int(lo), int(hi or lo) + 1))
+    else:
+        pinned = os.sched_getaffinity(0)
     out: dict[int, list[int]] = {}
     with open("/proc/stat") as f:
         for line in f:
@@ -157,7 +164,53 @@ def main() -> None:
             "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
             "spark.memory.fraction": "0.6",
         }
+    # BENCH_CLUSTER_PIN="<driver_core>:<exec_lo>-<exec_hi>" (local-cluster
+    # only): pin the DRIVER (this process + its JVM, incl. the in-JVM
+    # master/worker) to its own core and each EXECUTOR JVM (+ its python
+    # workers, which inherit affinity) to the executor core range — the
+    # real cluster topology, where the driver node is constant while
+    # executors scale N -> 4N. Without this, a 1-executor level pays the
+    # driver's cycles out of its single measured core while a 4-executor
+    # level amortizes them, biasing the scaling ratio upward.
+    pin = os.environ.get("BENCH_CLUSTER_PIN")
+    if pin and master.startswith("local-cluster"):
+        drv, _, execs = pin.partition(":")
+        os.sched_setaffinity(0, {int(drv)})  # JVM child inherits
     spark = get_spark(app_name="bench", master=master, extra_conf=extra)
+    if pin and master.startswith("local-cluster"):
+        lo_c, _, hi_c = execs.partition("-")
+        exec_cpus = set(range(int(lo_c), int(hi_c or lo_c) + 1))
+        # executors register async; force them up, then pin their JVMs
+        n_exec = int(master.split("[")[1].split(",")[0])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+                >= n_exec + 1  # + driver entry
+            ):
+                break
+            time.sleep(0.5)
+        pinned = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"CoarseGrainedExecutorBackend" in cmd:
+                # a running JVM is many threads; affinity is per-thread
+                try:
+                    for tid in os.listdir(f"/proc/{pid}/task"):
+                        try:
+                            os.sched_setaffinity(int(tid), exec_cpus)
+                        except OSError:
+                            pass  # thread exited mid-walk
+                    pinned += 1
+                except OSError:
+                    pass
+        assert pinned >= n_exec, f"pinned {pinned} executors, wanted {n_exec}"
 
     import __spark_entry__ as entry
 

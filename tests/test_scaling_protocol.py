@@ -126,7 +126,7 @@ def test_wall_matched_pair_routes_per_level_windows(rs, monkeypatch):
     mismatch the amendment exists to remove."""
     calls = []
 
-    def fake_run_slice(cores, steady, warm, batch=None):
+    def fake_run_slice(cores, steady, warm, batch=None, cluster=False):
         calls.append((cores, steady, warm))
         eps = 80_000.0 if cores == 1 else 250_000.0
         events = steady
