@@ -313,7 +313,14 @@ def main() -> None:
             n_steady = 1
         else:
             job.run(until_seq=n_events - 1, max_batches=1)
-            n_steady = max((n_events // batch - 1) // 2, 1)
+            # BENCH_SEG_BATCHES: batches per steady segment (default:
+            # half the remaining batches). 1 = single-batch segments,
+            # the shape of a >=10^8-event deployment batch — in cluster
+            # mode each extra batch costs ~15 s of idle stage-barrier
+            # wall (measured, BENCH/r5h headline-attempt-1787045940).
+            n_steady = int(
+                os.environ.get("BENCH_SEG_BATCHES", "0")
+            ) or max((n_events // batch - 1) // 2, 1)
         segments = []
         while True:
             u0, s0 = tree_cpu_split()
