@@ -94,8 +94,16 @@ SLICES_PER_LEVEL = 3
 # v3.2: wall-matched windows (see module docstring #2)
 STEADY_BY_CORES = {LOW: 8_000_000, HIGH: 8_000_000}
 WARM_BY_CORES = {LOW: 2_000_000, HIGH: 8_000_000}
-HEADLINE_EVENTS = 24_000_000
-HEADLINE_BATCH = 4_000_000
+# Headline shape (amended after the first two r5h attempts, before any
+# was banked): 8M single-batch segments — in cluster mode each extra
+# batch inside a segment costs ~15 s of idle stage-barrier wall
+# (headline-attempt-1787045940: 35% utilization at 4M batches; the
+# 10:44 attempt was green+stable at a structurally-capped 103k). The
+# deployment shape is >= 10^8-event batches; 8M single-batch segments
+# are the closest this box expresses. Warm batch (excluded) = 8M, then
+# 3 steady segments of one 8M batch each. Pair protocol untouched.
+HEADLINE_EVENTS = 32_000_000
+HEADLINE_BATCH = 8_000_000
 HEADLINE_CORES = 4
 HEADLINE_TARGET_EPS = 240_000
 
@@ -163,6 +171,7 @@ def try_headline() -> None:
     env = {
         **os.environ,
         "BENCH_MASTER": f"local-cluster[{HEADLINE_CORES},1,4096]",
+        "BENCH_SEG_BATCHES": "1",
         "BENCH_CLUSTER_PIN": f"4:0-{HEADLINE_CORES - 1}",
         "BENCH_DIAG_CPUS": "0-4",
         "SPARK_GRAFT_CPUS": str(HEADLINE_CORES),
