@@ -164,6 +164,12 @@ def main() -> None:
             "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
             "spark.memory.fraction": "0.6",
         }
+    # BENCH_SPARK_CONF="k=v;k=v": extra SparkSession conf (A/B tuning
+    # experiments flow through here so the measured config is in the env
+    # a record can quote)
+    for kv in filter(None, os.environ.get("BENCH_SPARK_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     # BENCH_CLUSTER_PIN="<driver_core>:<exec_lo>-<exec_hi>" (local-cluster
     # only): pin the DRIVER (this process + its JVM, incl. the in-JVM
     # master/worker) to its own core and each EXECUTOR JVM (+ its python
