@@ -66,6 +66,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_KEYS = 1_000_000
 CONTENT_REPEAT = 16
 N_BUCKETS = 16
+# v4.1: executor JVM heap MB for cluster-topology slices. 4096 left the
+# write stage GC-bound (24-27 s of executor GC per 8M-event batch,
+# invisible to the driver-side GC bean — BENCH/diag_eventlog.py); 7168
+# measured 4.8 s GC, tight task spread, in-stage idle 0.9 core-s.
+CLUSTER_MB = int(os.environ.get("BENCH_CLUSTER_MB", "7168"))
 
 
 def run_level(cores: int, events: int, batch: int) -> dict:
@@ -318,7 +323,7 @@ def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
         "SPARK_LOCAL_DIRS": "/dev/shm",
     }
     if cluster:
-        env["BENCH_MASTER"] = f"local-cluster[{cores},1,4096]"
+        env["BENCH_MASTER"] = f"local-cluster[{cores},1,{CLUSTER_MB}]"
         env["BENCH_CLUSTER_PIN"] = f"4:0-{cores - 1}" if cores > 1 else "4:0"
         env["BENCH_DIAG_CPUS"] = "0-4"
         # bench.py pins the driver and each executor JVM itself
@@ -417,7 +422,7 @@ def interleaved_pair(
     return {
         "protocol": "interleaved_micro_slices",
         "topology": (
-            "local-cluster[N,1,4096] — N executor JVMs, one pinned core "
+            f"local-cluster[N,1,{CLUSTER_MB}] — N executor JVMs, one pinned core "
             "each, driver pinned apart on core 4"
         ) if cluster else "local[N] taskset-pinned single JVM",
         "low_cores": low_cores, "high_cores": high_cores,

@@ -163,6 +163,12 @@ def main() -> None:
         extra = {
             "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
             "spark.memory.fraction": "0.6",
+            # Executors on one host read each other's shuffle files
+            # straight from local disk instead of over netty. Measured
+            # (BENCH/diag_eventlog.py, 8M-event batch, 4 executors):
+            # fetch-wait 3-22 core-s -> ~0.1, all 64 blocks host-local.
+            # A multi-executor-per-node deployment gets the same win.
+            "spark.shuffle.readHostLocalDisk": "true",
         }
     # BENCH_SPARK_CONF="k=v;k=v": extra SparkSession conf (A/B tuning
     # experiments flow through here so the measured config is in the env
@@ -285,10 +291,16 @@ def main() -> None:
         if os.environ.get("BENCH_STABLE_PLAN", "1") == "1":
             warm_env = int(os.environ.get("BENCH_WARMUP", str(batch)))
             stable = max(batch, n_events - warm_env, 1)
+        # BENCH_GEN_SLICES: tasks in the generation stage (default 4 per
+        # executor core) — one fat task per core makes every stage
+        # barrier wait on the slowest core; finer tasks keep the tail
+        # one small task wide (stable_seq_range docstring).
+        gen_slices = int(os.environ.get("BENCH_GEN_SLICES", str(cpus * 4)))
         job = ReplicateJob(
             spark=spark,
             source=generated_source(
                 stable_max_batch=stable,
+                gen_slices=gen_slices or None,
                 num_keys=n_keys, content_repeat=content_repeat,
             ),
             table_root=os.path.join(work, "tbl"),

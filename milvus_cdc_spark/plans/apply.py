@@ -535,7 +535,8 @@ def parquet_source(log_path: str) -> Callable[[SparkSession, int, int], DataFram
 
 
 def generated_source(
-    stable_max_batch: int | None = None, **gen_kwargs
+    stable_max_batch: int | None = None, gen_slices: int | None = None,
+    **gen_kwargs
 ) -> Callable[[SparkSession, int, int], DataFrame]:
     """Lazy generator source: every column is a pure function of
     event_seq, so slicing by seq range IS the seek — nothing materialized.
@@ -550,12 +551,17 @@ def generated_source(
     sources (``parquet_source``) keep literal bounds on purpose: there the
     literals reach the scan as pushed filters, worth far more than a
     cached plan.
+
+    ``gen_slices``: Range task count for the generation stage (see
+    :func:`stable_seq_range`) — size it to 4-8× the executor core count
+    so the stage barrier's tail is one small task, not a full quarter
+    of the stage. None keeps Spark's defaultParallelism.
     """
     from milvus_cdc_spark.sources.event_log import generate_events, stable_seq_range
 
     def read(spark: SparkSession, lo: int, hi: int) -> DataFrame:
         if stable_max_batch is not None and hi - lo <= stable_max_batch:
-            seq = stable_seq_range(spark, lo, hi, stable_max_batch)
+            seq = stable_seq_range(spark, lo, hi, stable_max_batch, gen_slices)
             return generate_events(spark, hi - lo, seq_df=seq, **gen_kwargs)
         return generate_events(spark, hi - lo, start_seq=lo + 1, **gen_kwargs)
 

@@ -64,7 +64,8 @@ _GEN_COLS_CACHE: dict[tuple, list] = {}
 
 
 def stable_seq_range(
-    spark: SparkSession, lo: int, hi: int, max_batch: int
+    spark: SparkSession, lo: int, hi: int, max_batch: int,
+    num_slices: int | None = None,
 ) -> DataFrame:
     """``event_seq`` in (lo, hi] as a DataFrame whose generated code is
     IDENTICAL for every (lo, hi] window with hi-lo <= max_batch.
@@ -85,6 +86,15 @@ def stable_seq_range(
     sizes (10^8 events) that is noise; at high batch rates it is the
     dominant per-batch fixed cost. This helper makes the plan a true
     PREPARED statement: compile once, bind bounds per batch.
+
+    ``num_slices``: Range partition count (default None: Spark's own
+    defaultParallelism). The generator's per-event work (hash + md5
+    payload synthesis) happens in this stage, so with one task per core
+    the stage barrier waits on the SLOWEST core — per-core speed
+    variance and scheduling jitter idle the rest at the barrier. 4-8
+    tasks per core keeps the stage tail one small task wide instead of
+    a quarter of the stage; per-task overhead is ~ms against
+    multi-second tasks.
     """
     n = hi - lo
     if n > max_batch:
@@ -93,7 +103,7 @@ def stable_seq_range(
         spark.createDataFrame([(lo + 1, n)], "__start long, __n long")
     )
     return (
-        spark.range(0, max_batch)
+        spark.range(0, max_batch, numPartitions=num_slices)
         .join(bounds)
         .filter(F.col("id") < F.col("__n"))
         .select((F.col("id") + F.col("__start")).alias("event_seq"))
