@@ -258,7 +258,15 @@ def main() -> None:
         env = {
             **os.environ,
             "SPARK_GRAFT_CPUS": str(replay_cores),
-            "BENCH_AFFINITY": f"0-{replay_cores - 1}" if replay_cores > 1 else "0",
+            # cluster topology, not local[N]: one shared JVM couples the
+            # pinned vCPUs through one address space's kernel locks and
+            # takes minute-long preemption storms on this host class
+            # (BENCH/r5g vs v4 calibration); per-core executor JVMs with
+            # the driver apart measure the engine instead. Executor heap
+            # and host-local shuffle reads per BENCH/diag_eventlog.py.
+            "BENCH_MASTER": f"local-cluster[{replay_cores},1,7168]",
+            "BENCH_CLUSTER_PIN": f"{replay_cores}:0-{replay_cores - 1}",
+            "BENCH_DIAG_CPUS": f"0-{replay_cores}",
             "BENCH_SKIP_QUERIES": "1",
             "BENCH_REPLAY_CORES": "0",
         }
