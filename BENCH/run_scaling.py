@@ -334,8 +334,17 @@ def run_slice(cores: int, steady: int = SLICE_STEADY, warm: int = SLICE_WARM,
             sys.executable, os.path.join(REPO, "bench.py"),
         ]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    rec = json.loads(line)
+    json_lines = [ln for ln in out.stdout.strip().splitlines()
+                  if ln.startswith("{")]
+    if not json_lines:
+        # Surface WHY the slice died (rc + stderr tail) instead of the
+        # bare IndexError that ate a whole pair on 2026-08-19
+        # (r5i/session.log t=1787147427).
+        tail = "\n".join(out.stderr.strip().splitlines()[-8:])
+        raise RuntimeError(
+            f"bench.py slice (cores={cores}) emitted no JSON "
+            f"(rc={out.returncode}); stderr tail:\n{tail}")
+    rec = json.loads(json_lines[-1])
     seg = rec["segments_detail"][0]
     seg["cores"] = cores
     return seg
