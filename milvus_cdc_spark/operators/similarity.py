@@ -219,48 +219,116 @@ def pairwise_cosine_neardup(
     split by one table's hyperplane is usually intact in another; the
     union of per-table candidates is deduped before emit.
 
-    Each side's vector NORM is computed in the PRE-join projection (one
-    O(dim) aggregate per vector) and carried through the join as a
-    column, so candidate pairs pay only the dot product — computing
-    ``_norm`` inside the joined projection would re-run two O(dim)
-    aggregates per PAIR, and same-bucket pair counts are quadratic in
-    bucket population (VERDICT r3 #2)."""
+    Pair SCORING runs per bucket in vectorized numpy (``applyInPandas``,
+    guide §4.2 shape): bucket membership is decided in the JVM
+    (``srp_bucket`` over plane literals — no Python, no extra shuffle)
+    and each (table, bucket) group crosses the Arrow boundary once as
+    VECTORS — O(corpus × n_tables) rows — never as pairs; the quadratic
+    same-bucket pair stream exists only inside numpy. The scorer
+    accumulates dot products and norms with one vectorized add per
+    dimension in index order, which reproduces the exact IEEE fold order
+    of the ``_dot``/``_norm`` built-ins (0.0 + t0 + t1 + ...; cast
+    float→double is exact, each *, +, /, sqrt is a single correctly-
+    rounded IEEE op in both JVM and numpy), so the raw cosines are
+    BIT-IDENTICAL to the former JVM bucketed self-join — oracle-pinned.
+    Rounding (decimal HALF_UP) and the threshold filter stay in Spark;
+    Python pre-filters conservatively at threshold − 1e-6 only to bound
+    emitted rows. r06 measurement at sf1.0 (20k vectors → 34M candidate
+    pairs, hot bucket ≈ 4.1k vectors): the interpreted-HOF join scored
+    pairs at ~4.5 µs each ≈ 154 s; the numpy scorer does 64 vectorized
+    adds per dim over the whole bucket block at memory bandwidth.
+
+    Scale note: one (table, bucket) group is one task, so a hot bucket
+    serializes at O(n_b²/cores_of_one) — :func:`auto_planes` bounds the
+    EXPECTED n_b; for adversarial skew, shard the left block range of
+    the hot bucket over a salt column (explode the right side per
+    shard) before grouping — not needed at benchmark scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType as _Dbl
+    from pyspark.sql.types import StructField, StructType
+
     dim_row = embeddings.select(F.size(vec_col)).first()
     dim = dim_row[0]
-
-    def one_table(t: int) -> DataFrame:
-        planes = make_planes(dim, n_planes, seed + t)
-        b = embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
-            srp_bucket(F.col(vec_col), planes).alias("__bucket"),
-            _norm(F.col(vec_col)).alias("__norm"),
-        )
-        left = b.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-            F.col("__norm").alias("na"), "__bucket",
-        )
-        right = b.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-            F.col("__norm").alias("nb"), "__bucket",
-        )
-        return (
-            left.join(right, "__bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "cosine",
-                F.round(
-                    _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                    6,
-                ),
+    all_planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(F.col(vec_col), p).alias("bucket"),
             )
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine")
+            for t, p in enumerate(all_planes)
+        ]
+    )
+    st1 = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.explode(tb).alias("__tb")
+    ).select(
+        "__id", "__vec", F.col("__tb.t").alias("__t"), F.col("__tb.bucket").alias("__bucket")
+    )
+
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("raw", _Dbl()),
+        ]
+    )
+    cut = float(threshold) - 1e-6
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["__vec"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+        order = np.argsort(pdf["__id"].values, kind="stable")
+        ids = pdf["__id"].values[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vec"].values[order]]
+        )
+        d = mat.shape[1]
+        # norms, exact _norm fold order: sqrt(0.0 + x0*x0 + x1*x1 + ...)
+        acc = np.zeros(n)
+        for k in range(d):
+            acc = acc + mat[:, k] * mat[:, k]
+        norms = np.sqrt(acc)
+        out_a: list = []
+        out_b: list = []
+        out_r: list = []
+        blk = 512
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                A = mat[s:e]          # rows i in [s, e)
+                B = mat[s:]           # only j >= s can satisfy j > i
+                acc2 = np.zeros((e - s, n - s))
+                for k in range(d):
+                    acc2 = acc2 + A[:, k : k + 1] * B[:, k][None, :]
+                raw = acc2 / (norms[s:e][:, None] * norms[s:][None, :])
+                keep = (
+                    (np.arange(s, e)[:, None] < np.arange(s, n)[None, :])
+                    & (raw >= cut)
+                )
+                ii, jj = np.nonzero(keep)
+                if ii.size:
+                    out_a.append(ids[ii + s])
+                    out_b.append(ids[jj + s])
+                    out_r.append(raw[ii, jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "raw": np.concatenate(out_r),
+            }
         )
 
-    out = one_table(0)
-    for t in range(1, n_tables):
-        out = out.unionByName(one_table(t))
+    scored = st1.groupBy("__t", "__bucket").applyInPandas(score, schema=out_schema)
+    out = (
+        scored.select("id_a", "id_b", F.round(F.col("raw"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
     # rounded cosine is deterministic, so (id_a, id_b, cosine) dedups
     # pairs found by several tables
     return out.distinct() if n_tables > 1 else out
