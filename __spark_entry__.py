@@ -93,18 +93,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def cdc_lww_latest(spark, sf_dir):
-    """O1/O2/K4: window-over-event-sequence dedup, last writer wins."""
+    """O1/O2/K4: last-writer-wins dedup. ``event_id`` is globally unique
+    (event_seq), so the per-key winner row is exactly the row whose id
+    is its key's max id: a map-side-partial hash aggregate of max ids +
+    a (broadcastable) semi-join back to events — no per-key window, no
+    full sort of the log (guide §2.4: the row_number window shuffled
+    and SORTED every event by (key, seq); the argmax form exchanges
+    O(keys) longs and AQE broadcasts them)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_event_type"),
-            F.round(F.col("value"), 2).alias("last_value"),
-        )
+    winner_ids = ev.groupBy("user_id").agg(F.max("event_id").alias("event_id")).select(
+        "event_id"
+    )
+    return ev.join(winner_ids, "event_id", "left_semi").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
     )
 
 
@@ -166,13 +170,14 @@ def cdc_hot_keys(spark, sf_dir):
 
 
 def cdc_dedup_exact(spark, sf_dir):
-    """Window dedup on a composite key: latest event per (user, type)."""
+    """Dedup on a composite key: latest event per (user, type). The
+    output is exactly (key, max id) — a pure hash aggregate with
+    map-side partials; the former row_number window shuffled AND sorted
+    every event just to keep rank 1 (guide §2.3 aggregate-before-you-
+    shuffle)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.col("event_id").alias("last_event_id"))
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("last_event_id")
     )
 
 

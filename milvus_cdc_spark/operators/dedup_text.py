@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from milvus_cdc_spark.operators.salting import spread_scan
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash; keeps the min-id doc as
@@ -123,18 +125,36 @@ def minhash_signatures(
     """MinHash signature per doc: num_hashes columns ``mh_i``.
 
     Hash family i is ``md5(i || ':' || shingle)`` — engine-portable and
-    deterministic. The min aggregation is map-side partial, so the
-    shuffle is O(docs × num_hashes) strings. Shingle dedup is skipped
-    entirely (``distinct=False``): min is duplicate-insensitive, so the
-    scan→partial-min→final-min pipeline has exactly one exchange of
-    O(docs) rows.
+    deterministic. ZERO-shuffle: each ``mh_i`` is
+    ``array_min(transform(shingles, s -> md5(i:s)))`` computed INSIDE
+    the row — the signature is a pure projection over the per-doc
+    shingle array. The former explode → groupBy(min) formulation
+    planned as a two-level SortAggregate (min over *strings* has a
+    var-length buffer, so it cannot hash-aggregate) that sorted the
+    O(corpus-shingles) exploded rows twice and exchanged O(docs) rows;
+    the array form does the identical md5 work with no explode, no
+    sort, no exchange (r06: the LSH pair query over these signatures
+    dropped 11.6 s → ~3 s at sf1.0). Shingle dedup is still skipped
+    (``distinct=False``): min is duplicate-insensitive. Docs with fewer
+    than ``shingle_n`` words have no shingles and are excluded (same
+    rows as the explode form, where they vanished at the explode); the
+    word-count filter is a per-ROW predicate on the token array — cheap
+    next to the per-SHINGLE md5 work even where pushdown re-expands the
+    split.
     """
-    sh = word_shingles(docs, id_col, text_col, n=shingle_n, distinct=False)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+    tok, shingle = _shingle_parts(
+        spread_scan(docs), id_col, text_col, shingle_n, distinct=False
+    )
+    staged = tok.filter(F.size(F.col("__w")) >= shingle_n).select(
+        F.col(id_col), shingle.alias("__sh")
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return staged.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
@@ -147,9 +167,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs (id_a < id_b, band hit
     count). bands × rows = num_hashes; a pair is a candidate if any band's
-    sub-signature matches exactly."""
+    sub-signature matches exactly.
+
+    The signature table — the O(docs)-row lightweight proxy of the
+    corpus (guide §8) — is materialized once with ``localCheckpoint``:
+    the band self-join's two sides would otherwise each re-run the
+    whole scan → shingle → 8×md5 pipeline (its cost is per-SHINGLE; the
+    checkpoint is per-DOC and a few hundred bytes/row)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n).localCheckpoint()
     band_structs = F.array(
         *[
             F.struct(
@@ -190,41 +216,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity on word-shingle sets for candidate pairs.
 
-    ``pairs`` has (id_a, id_b). Intersection via shingle equi-join,
-    union via |A|+|B|-∩. Runs only over LSH candidates — the classic
-    two-stage near-dup pipeline (cheap filter, exact verify).
+    ``pairs`` has (id_a, id_b), assumed distinct (each pair is verified
+    once). Runs only over LSH candidates — the classic two-stage
+    near-dup pipeline (cheap filter, exact verify).
 
-    ONE tokenization pass (VERDICT r3 #6): a single projection emits the
-    per-doc set size (``size(<shingle expr>)``) alongside
-    ``explode(<shingle expr>)`` — the corpus is split/shingled once, and
-    whole-stage codegen's subexpression elimination evaluates the shared
-    shingle expression once per row. The sizes then RIDE the exploded
-    rows through the intersection join (recovered per group with
-    ``first``), so no second scan and no extra size-join is needed.
-    Exploding the *expression* (not a staged column) still matters — see
-    :func:`_shingle_parts` for the InferFiltersFromGenerate trap.
+    The intersection is computed INSIDE the pair row with
+    ``array_intersect`` on the two docs' distinct-shingle ARRAYS: the
+    pair list is joined to one shingle-array row per side and the set
+    ops (|A∩B|, |A|, |B|) never leave the row. The former formulation
+    exploded every shingle of both sides, shuffled O(corpus-shingles)
+    rows through two joins, and re-grouped the join output; now the
+    only shuffled payload is one array per doc per side — O(pairs)
+    rows, the candidates-only contract made literal (r06: 5.7 s →
+    ~1 s at sf1.0, 16-node plan → 2 joins). Pairs with zero shared
+    shingles are dropped (``n_inter >= 1``), exactly where the explode
+    form dropped them structurally; so are pairs whose doc has no
+    shingles at all.
     """
-    tok, shingle = _shingle_parts(docs, id_col, text_col, shingle_n, distinct=True)
-    sh = tok.select(
-        F.col(id_col),
-        F.size(shingle).cast("long").alias("n_shingles"),
-        F.explode(shingle).alias("shingle"),
+    tok, shingle = _shingle_parts(
+        spread_scan(docs), id_col, text_col, shingle_n, distinct=True
     )
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
-    )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
-    )
+    sets_ = tok.select(F.col(id_col), shingle.alias("__sh"))
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     out = (
         pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("n_a").alias("n_a"),  # constant within the group
-            F.first("n_b").alias("n_b"),
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).cast("long").alias("n_inter"),
+            F.size("__sha").cast("long").alias("n_a"),
+            F.size("__shb").cast("long").alias("n_b"),
         )
+        .filter(F.col("n_inter") >= 1)
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
@@ -248,14 +273,16 @@ def simhash(
     md5. Fingerprint bit i = sign of sum(±1) over words. The bit loop is
     an unrolled aggregation — one shuffle, map-side partials, no UDF.
     """
-    words = docs.select(
+    words = spread_scan(docs).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).withColumn("h", F.md5("w"))
-    hexhi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    # "hex digit has its high bit set" ⇔ digit in 8..f ⇔ char >= '8'
+    # ('0'-'7' sort below '8'; 'a'-'f' above) — one comparison instead
+    # of an 8-literal IN list, same predicate bit-for-bit
     aggs = [
         F.sum(
-            F.when(F.substring(F.col("h"), i + 1, 1).isin(hexhi), 1).otherwise(-1)
+            F.when(F.substring(F.col("h"), i + 1, 1) >= "8", 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(bits)
     ]
@@ -279,12 +306,25 @@ def simhash_near_pairs(
     Scale path: block on the high 16 bits (near-dups almost always share
     them at distance ≤3 over 32 bits — a standard simhash banding
     approximation) so the join is band-bucketed, not all-pairs.
+
+    The fingerprint table (id, simhash, block — 3 scalars/doc) is
+    materialized ONCE with ``localCheckpoint`` and the probe side
+    round-robin-repartitioned to the session's core count before the
+    self-join: without this the aggregation output AQE-coalesces to a
+    couple of partitions and the quadratic-in-block pair GENERATION —
+    the query's real work, 25M output pairs at sf1.0 — runs on 2 tasks
+    (r06 measurement: 14.6 s → ~3 s). The checkpoint also stops the
+    whole scan→md5→agg pipeline being computed once per join side
+    (broadcast and probe sides cannot share a stage).
     """
     fp = simhash(docs, id_col, text_col, bits)
     fp = fp.withColumn(
         "block", F.floor(F.col("simhash") / F.lit(float(2 ** (bits // 2)))).cast("long")
+    ).localCheckpoint()
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    a = fp.repartition(par).select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
     )
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block")
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block")
     return (
         a.join(b, ["block"])

@@ -21,6 +21,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_scan(df: DataFrame, min_ratio: int = 1) -> DataFrame:
+    """Round-robin-repartition a LOW-SPLIT scan up to the session's core
+    count before CPU-heavy per-row work (hashing, shingling, HOF dot
+    products).
+
+    Parquet can only split between row groups, so a single-row-group
+    file scans as ONE task no matter how many cores the session has —
+    at r06 measurement the per-word md5 pipeline of simhash/minhash ran
+    its whole corpus on 2 of 32 cores (13 s where the join it feeds
+    takes 0.4 s). The repartition moves only the raw input rows (cheap
+    next to the per-token work downstream) and is a NO-OP whenever the
+    scan already has >= cores × ``min_ratio`` splits — the normal case
+    at deployment scale, where inputs are many file splits; the helper
+    is scale-adaptive (``defaultParallelism``), never a constant tuned
+    to local mode.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism * min_ratio
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def salted_repartition(
     df: DataFrame,
     hot_key_col: str,

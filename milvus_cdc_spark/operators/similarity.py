@@ -210,6 +210,7 @@ def pairwise_cosine_neardup(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 2,
+    n_shards: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: SRP-bucketed self-join — only
     same-bucket pairs are scored, never all-pairs. ``n_planes`` must grow
@@ -238,18 +239,31 @@ def pairwise_cosine_neardup(
     pairs at ~4.5 µs each ≈ 154 s; the numpy scorer does 64 vectorized
     adds per dim over the whole bucket block at memory bandwidth.
 
-    Scale note: one (table, bucket) group is one task, so a hot bucket
-    serializes at O(n_b²/cores_of_one) — :func:`auto_planes` bounds the
-    EXPECTED n_b; for adversarial skew, shard the left block range of
-    the hot bucket over a salt column (explode the right side per
-    shard) before grouping — not needed at benchmark scale."""
+    Skew (guide §2.5 "split hot keys"): SRP buckets are far from
+    uniform (r06 sf1.0: hot bucket 4.1k of 20k vectors = half the
+    query's pair work in ONE group), and one group is one task. Every
+    bucket's self-join is therefore sharded: rows get a deterministic
+    hash shard in 0..n_shards-1 and each unordered SHARD PAIR (ga ≤ gb)
+    becomes its own group — ga == gb scores the shard's triangle,
+    ga < gb the full A×B rectangle — so a hot bucket runs as
+    n_shards(n_shards+1)/2 parallel tasks instead of one straggler.
+    Each unordered row pair lands in exactly one shard-pair group, and
+    the scorer's op order is unchanged, so the result set is identical.
+    Cost: each row is shipped to n_shards groups (O(n) duplication
+    against the O(n²) pair work it parallelizes)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType as _Dbl
     from pyspark.sql.types import StructField, StructType
 
+    from milvus_cdc_spark.operators.salting import spread_scan
+
     dim_row = embeddings.select(F.size(vec_col)).first()
     dim = dim_row[0]
+    # srp_bucket is n_planes × dim interpreted-HOF ops per row — spread a
+    # low-split scan over the cores before paying it (r06: embeddings
+    # parquet is one row group, so assignment ran on 2 of 32 cores)
+    embeddings = spread_scan(embeddings)
     all_planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
     tb = F.array(
         *[
@@ -275,47 +289,84 @@ def pairwise_cosine_neardup(
         ]
     )
     cut = float(threshold) - 1e-6
+    S = max(1, int(n_shards))
+    # shard-pair groups: pid p covers (PAIRS[p][0], PAIRS[p][1]);
+    # PIDS_BY_SHARD[s] = every pid whose pair contains shard s
+    PAIRS = [(ga, gb) for ga in range(S) for gb in range(ga, S)]
+    PIDS_BY_SHARD = [
+        [p for p, (ga, gb) in enumerate(PAIRS) if ga == s or gb == s] for s in range(S)
+    ]
 
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["__vec"].notna()]
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+    def _norms_np(mat):
+        # exact _norm fold order: sqrt(0.0 + x0*x0 + x1*x1 + ...)
+        acc = np.zeros(mat.shape[0])
+        for k in range(mat.shape[1]):
+            acc = acc + mat[:, k] * mat[:, k]
+        return np.sqrt(acc)
+
+    def _emit(A, B, na, nb, ids_a, ids_b, upper_only, out_a, out_b, out_r):
+        """Score A×B with the exact _dot fold order; keep raw >= cut.
+        upper_only: A and B are the SAME sorted set — keep j > i only."""
+        n_b = B.shape[0]
+        blk = 512
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, A.shape[0], blk):
+                e = min(s + blk, A.shape[0])
+                lo = s if upper_only else 0  # j >= s can still have j > i
+                acc2 = np.zeros((e - s, n_b - lo))
+                for k in range(A.shape[1]):
+                    acc2 = acc2 + A[s:e, k : k + 1] * B[lo:, k][None, :]
+                raw = acc2 / (na[s:e][:, None] * nb[lo:][None, :])
+                keep = raw >= cut
+                if upper_only:
+                    keep &= np.arange(s, e)[:, None] < np.arange(lo, n_b)[None, :]
+                ii, jj = np.nonzero(keep)
+                if ii.size:
+                    ia = ids_a[ii + s]
+                    ib = ids_b[jj + lo]
+                    if upper_only:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                    else:  # rectangle: orient so id_a < id_b
+                        swap = ib < ia
+                        out_a.append(np.where(swap, ib, ia))
+                        out_b.append(np.where(swap, ia, ib))
+                    out_r.append(raw[ii, jj])
+
+    def _sorted_side(pdf: pd.DataFrame):
         order = np.argsort(pdf["__id"].values, kind="stable")
         ids = pdf["__id"].values[order]
         mat = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["__vec"].values[order]]
         )
-        d = mat.shape[1]
-        # norms, exact _norm fold order: sqrt(0.0 + x0*x0 + x1*x1 + ...)
-        acc = np.zeros(n)
-        for k in range(d):
-            acc = acc + mat[:, k] * mat[:, k]
-        norms = np.sqrt(acc)
+        return ids, mat
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["__vec"].notna()]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+        if len(pdf) < 2:
+            return empty
+        ga, gb = PAIRS[int(pdf["__pid"].iloc[0])]
         out_a: list = []
         out_b: list = []
         out_r: list = []
-        blk = 512
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for s in range(0, n, blk):
-                e = min(s + blk, n)
-                A = mat[s:e]          # rows i in [s, e)
-                B = mat[s:]           # only j >= s can satisfy j > i
-                acc2 = np.zeros((e - s, n - s))
-                for k in range(d):
-                    acc2 = acc2 + A[:, k : k + 1] * B[:, k][None, :]
-                raw = acc2 / (norms[s:e][:, None] * norms[s:][None, :])
-                keep = (
-                    (np.arange(s, e)[:, None] < np.arange(s, n)[None, :])
-                    & (raw >= cut)
-                )
-                ii, jj = np.nonzero(keep)
-                if ii.size:
-                    out_a.append(ids[ii + s])
-                    out_b.append(ids[jj + s])
-                    out_r.append(raw[ii, jj])
+        if ga == gb:  # triangle within one shard
+            ids, mat = _sorted_side(pdf)
+            norms = _norms_np(mat)
+            _emit(mat, mat, norms, norms, ids, ids, True, out_a, out_b, out_r)
+        else:  # rectangle between the two shards
+            side_a = pdf[pdf["__shard"].values == ga]
+            side_b = pdf[pdf["__shard"].values == gb]
+            if len(side_a) == 0 or len(side_b) == 0:
+                return empty
+            ids_a, mat_a = _sorted_side(side_a)
+            ids_b, mat_b = _sorted_side(side_b)
+            _emit(
+                mat_a, mat_b, _norms_np(mat_a), _norms_np(mat_b),
+                ids_a, ids_b, False, out_a, out_b, out_r,
+            )
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "raw": []})
+            return empty
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -324,7 +375,26 @@ def pairwise_cosine_neardup(
             }
         )
 
-    scored = st1.groupBy("__t", "__bucket").applyInPandas(score, schema=out_schema)
+    # Pin the scoring stage's width: the (t, bucket) shuffle is a few MB
+    # of vectors, so AQE coalesces it to a handful of partitions — but
+    # each GROUP carries O(n_b²) numpy work, so narrow partitions
+    # serialize the quadratic part (r06: 7 post-AQE tasks ≈ 8 s vs 32
+    # pinned ≈ 3 s). An explicit hash repartition on the exact group
+    # keys is reused by the groupBy (no second exchange) and its
+    # user-specified partition count is exempt from AQE coalescing;
+    # core-count-derived, not a local-mode constant.
+    pid_arrays = F.array(
+        *[F.array(*[F.lit(p) for p in plist]) for plist in PIDS_BY_SHARD]
+    )
+    st2 = st1.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("__id")), F.lit(S)).cast("int")
+    ).withColumn("__pid", F.explode(F.element_at(pid_arrays, F.col("__shard") + 1)))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        st2.repartition(par, "__t", "__bucket", "__pid")
+        .groupBy("__t", "__bucket", "__pid")
+        .applyInPandas(score, schema=out_schema)
+    )
     out = (
         scored.select("id_a", "id_b", F.round(F.col("raw"), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)

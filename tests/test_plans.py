@@ -140,15 +140,18 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
-def test_minhash_signatures_single_exchange(spark):
-    """Shingle dedup must NOT shuffle: min is duplicate-insensitive, so
-    the only Exchange in the signature plan is the final per-doc agg.
-    A post-explode .distinct() here would exchange O(corpus tokens)."""
+def test_minhash_signatures_shuffle_free(spark):
+    """The signature is a pure projection: each mh_i is an
+    array_min(transform(...md5...)) computed INSIDE the row — no
+    explode, no Exchange, and no SortAggregate (min over strings has a
+    var-length buffer, so the former explode→groupBy(min) form could
+    not hash-aggregate and sorted the exploded corpus twice). r06."""
     from milvus_cdc_spark.operators.dedup_text import minhash_signatures
 
     plan = _plan(minhash_signatures(_docs(spark), "doc_id", "text", num_hashes=8))
-    assert plan.count("Exchange") == 1, plan
-    assert "partial_min" in plan  # map-side combine before the one shuffle
+    assert plan.count("Exchange") == 0, plan
+    assert "SortAggregate" not in plan, plan
+    assert "array_min" in plan, plan
 
 
 def test_word_shingles_distinct_is_shuffle_free(spark):
@@ -200,11 +203,12 @@ def test_jaccard_single_tokenization_tree(spark):
     assert len(re.findall(r"\bJoin\b", plan)) == 2, plan  # no size-joins
 
 
-def test_neardup_norms_computed_pre_join(spark):
-    """VERDICT r3 #2: pairwise_cosine_neardup carries each side's norm
-    as a pre-join column; candidate pairs pay only the dot product. In
-    the optimized plan every SQRT (norms are the only sqrt user) sits
-    BELOW the join, never in the post-join pair projection."""
+def test_neardup_scores_in_grouped_numpy_no_join(spark):
+    """r06: pairwise_cosine_neardup scores pairs per (table, bucket,
+    shard-pair) group inside applyInPandas — the quadratic pair stream
+    never exists as JVM rows, so the optimized plan has NO join at all;
+    rounding (Spark decimal HALF_UP) stays in the JVM above the Python
+    node."""
     from milvus_cdc_spark.operators.similarity import pairwise_cosine_neardup
 
     emb = spark.createDataFrame(
@@ -212,7 +216,71 @@ def test_neardup_norms_computed_pre_join(spark):
         "vec_id int, embedding array<float>",
     )
     plan = _optimized(pairwise_cosine_neardup(emb, n_planes=2, n_tables=1))
-    first_join = plan.find("Join")
-    assert first_join != -1, plan
-    assert "SQRT" not in plan[:first_join], plan[:first_join]
-    assert "SQRT" in plan[first_join:], plan
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "round(" in plan, plan
+
+
+def test_neardup_bit_identical_to_jvm_join(spark):
+    """The numpy scorer reproduces the former JVM bucketed self-join
+    BIT-for-bit: same fold order per dim, same casts, same rounding —
+    pinned here by recomputing the reference result with the original
+    zip_with/aggregate formulation over every same-bucket pair."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from milvus_cdc_spark.operators.similarity import (
+        _dot,
+        _norm,
+        make_planes,
+        pairwise_cosine_neardup,
+        srp_bucket,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in pairwise_cosine_neardup(
+            emb, threshold=0.1, n_planes=2, seed=11, n_tables=2, n_shards=3
+        ).collect()
+    }
+
+    def jvm_table(t):
+        planes = make_planes(8, 2, seed=11 + t)
+        b = emb.select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            srp_bucket(F.col("embedding"), planes).alias("__bucket"),
+            _norm(F.col("embedding")).alias("__norm"),
+        )
+        left = b.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+            F.col("__norm").alias("na"), "__bucket",
+        )
+        right = b.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+            F.col("__norm").alias("nb"), "__bucket",
+        )
+        return (
+            left.join(right, "__bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+            )
+            .filter(F.col("cosine") >= 0.1)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    ref_df = jvm_table(0).unionByName(jvm_table(1)).distinct()
+    ref = {(r.id_a, r.id_b): r.cosine for r in ref_df.collect()}
+    assert got.keys() == ref.keys()
+    for k in ref:
+        # exact double equality — not a tolerance check
+        assert math.isclose(got[k], ref[k], rel_tol=0, abs_tol=0), (k, got[k], ref[k])
