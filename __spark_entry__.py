@@ -263,14 +263,22 @@ def olap_pricing_summary(spark, sf_dir):
 
 
 def olap_top_customers(spark, sf_dir):
-    """Join + group + top-k: top 10 customers by order value (cents)."""
+    """Join + group + top-k: top 10 customers by order value (cents).
+    Aggregate-before-join (guide §2.3): orders collapse to one row per
+    custkey BEFORE meeting customer, so the join probes O(customers)
+    rows instead of O(orders) and the group-by's exchange carries the
+    pre-aggregated partials. c_custkey is a key (c_name rides along),
+    so grouping by o_custkey first is exactly the former
+    groupBy(c_custkey, c_name) over the joined rows."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n_orders")
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(cents).alias("total_cents"), F.count(F.lit(1)).alias("n_orders"))
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_cents", "n_orders")
         .orderBy(F.col("total_cents").desc(), F.col("c_custkey"))
         .limit(10)
     )

@@ -306,32 +306,48 @@ def pairwise_cosine_neardup(
 
     def _emit(A, B, na, nb, ids_a, ids_b, upper_only, out_a, out_b, out_r):
         """Score A×B with the exact _dot fold order; keep raw >= cut.
-        upper_only: A and B are the SAME sorted set — keep j > i only."""
+        upper_only: A and B are the SAME sorted set — keep j > i only.
+
+        Tiled for locality: transposed (dim-major) copies make each
+        per-dim slice contiguous, and the j-tile keeps the accumulator
+        and product buffer cache-resident across the 64 sequential adds
+        (a flat (m × n) accumulator re-streams itself from DRAM once
+        per dim). The per-element op SEQUENCE is unchanged — tiling
+        only reorders which (i, j) cells are computed when."""
         n_b = B.shape[0]
-        blk = 512
+        d = A.shape[1]
+        AT = np.ascontiguousarray(A.T)
+        BT = AT if B is A else np.ascontiguousarray(B.T)
+        blk, jtile = 512, 1024
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, A.shape[0], blk):
                 e = min(s + blk, A.shape[0])
                 lo = s if upper_only else 0  # j >= s can still have j > i
-                acc2 = np.zeros((e - s, n_b - lo))
-                for k in range(A.shape[1]):
-                    acc2 = acc2 + A[s:e, k : k + 1] * B[lo:, k][None, :]
-                raw = acc2 / (na[s:e][:, None] * nb[lo:][None, :])
-                keep = raw >= cut
-                if upper_only:
-                    keep &= np.arange(s, e)[:, None] < np.arange(lo, n_b)[None, :]
-                ii, jj = np.nonzero(keep)
-                if ii.size:
-                    ia = ids_a[ii + s]
-                    ib = ids_b[jj + lo]
+                for j0 in range(lo, n_b, jtile):
+                    j1 = min(j0 + jtile, n_b)
+                    acc2 = np.zeros((e - s, j1 - j0))
+                    tmp = np.empty((e - s, j1 - j0))
+                    for k in range(d):
+                        np.multiply(
+                            AT[k, s:e][:, None], BT[k, j0:j1][None, :], out=tmp
+                        )
+                        acc2 += tmp
+                    raw = acc2 / (na[s:e][:, None] * nb[j0:j1][None, :])
+                    keep = raw >= cut
                     if upper_only:
-                        out_a.append(ia)
-                        out_b.append(ib)
-                    else:  # rectangle: orient so id_a < id_b
-                        swap = ib < ia
-                        out_a.append(np.where(swap, ib, ia))
-                        out_b.append(np.where(swap, ia, ib))
-                    out_r.append(raw[ii, jj])
+                        keep &= np.arange(s, e)[:, None] < np.arange(j0, j1)[None, :]
+                    ii, jj = np.nonzero(keep)
+                    if ii.size:
+                        ia = ids_a[ii + s]
+                        ib = ids_b[jj + j0]
+                        if upper_only:
+                            out_a.append(ia)
+                            out_b.append(ib)
+                        else:  # rectangle: orient so id_a < id_b
+                            swap = ib < ia
+                            out_a.append(np.where(swap, ib, ia))
+                            out_b.append(np.where(swap, ia, ib))
+                        out_r.append(raw[ii, jj])
 
     def _sorted_side(pdf: pd.DataFrame):
         order = np.argsort(pdf["__id"].values, kind="stable")

@@ -97,11 +97,15 @@ class RollupJob:
         # NEVER be folded again (double-add corrupts silently)
         if int(table.properties.get("batch_id", -1)) >= batch_id:
             return 0
-        # Partials are used twice (day-bounds scalar agg, then the totals
-        # join), so they are cached — the EVENTS batch range is scanned
-        # exactly once per apply_batch. The cache is O(groups in batch),
-        # bounded by batch size.
-        partials = self._partials(lo, hi).persist()
+        # Day bounds come from a SEPARATE, narrow scan of the batch range
+        # (ts + pushed event_id range only — hour windows nest inside
+        # days, so min/max day(ts) == min/max day(window_start)): cheaper
+        # than materializing the whole partial aggregate into the cache
+        # just to read two scalars off it, and the merge job below then
+        # computes the partials exactly once with no persist/unpersist
+        # bookkeeping or executor cache pressure (r06; guide §6 column
+        # pruning).
+        partials = self._partials(lo, hi)
         try:
             # Affected buckets under timehash:day placement = the batch's
             # DAY range × sub-buckets, from one min/max agg over the
@@ -123,11 +127,15 @@ class RollupJob:
             # placing — computing the day on the same casted value keeps
             # the bounds and the placement in lock-step under any session
             # timezone (and ntz has no direct cast to double anyway)
-            win_day = F.floor(
-                F.col("window_start").cast("timestamp").cast("double")
-                / F.lit(86400.0)
+            ev_day = F.floor(
+                F.col("ts").cast("timestamp").cast("double") / F.lit(86400.0)
             ).cast("int")
-            d0, d1 = partials.agg(F.min(win_day), F.max(win_day)).collect()[0]
+            d0, d1 = (
+                self.spark.read.parquet(self.events_path)
+                .filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+                .agg(F.min(ev_day), F.max(ev_day))
+                .collect()[0]
+            )
             if d0 is None:
                 self.metastore.save_checkpoint(
                     self.task_id, batch_id, {}, global_offset=hi
@@ -197,7 +205,7 @@ class RollupJob:
                 },
             )
         finally:
-            partials.unpersist()
+            pass  # partials is lazy — nothing to release
         self.metastore.save_checkpoint(self.task_id, batch_id, {}, global_offset=hi)
         return snapshot_id
 

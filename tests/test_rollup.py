@@ -147,12 +147,14 @@ def test_rollup_per_batch_read_is_time_pruned(spark, tmp_base, monkeypatch):
 
 
 def test_rollup_reads_batch_range_once(spark, tmp_base, monkeypatch):
-    """VERDICT r3 #7: one scan of the events batch range per
-    apply_batch. The partials feed two consumers (the day-bounds scalar
-    agg and the totals join), so they must come from ONE cached plan —
-    not two separately constructed scans of the same range. Guard both
-    halves: exactly one events-scan plan built per batch, and that plan
-    cached before its second use."""
+    """r06 (supersedes the VERDICT r3 #7 pin): the HEAVY scan of the
+    events batch range — the one feeding the window partial aggregate —
+    runs exactly once per apply_batch, inside the merge job. The day
+    bounds come from a second, NARROW scan (ts + the pushed event_id
+    range only; column-pruned at the parquet reader), which replaced
+    persisting the whole partial aggregate just to read two scalars off
+    it. Guard both halves: exactly two events-scan plans per batch, and
+    NO persist (no executor cache pressure)."""
     from pyspark.sql.readwriter import DataFrameReader
 
     _events(spark, tmp_base)
@@ -178,5 +180,5 @@ def test_rollup_reads_batch_range_once(spark, tmp_base, monkeypatch):
     monkeypatch.setattr(DataFrameReader, "parquet", spy_parquet)
     monkeypatch.setattr(DataFrame, "persist", spy_persist)
     job.run(until_seq=4999)
-    assert len(scans) == 5  # one events-scan plan per batch, not two
-    assert len(persists) == 5  # ...and it is cached across its two uses
+    assert len(scans) == 10  # bounds scan (narrow) + merge scan per batch
+    assert len(persists) == 0  # nothing cached — partials stream once
