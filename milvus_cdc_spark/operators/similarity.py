@@ -220,10 +220,9 @@ def pairwise_cosine_neardup(
     split by one table's hyperplane is usually intact in another; the
     union of per-table candidates is deduped before emit.
 
-    Pair SCORING runs per bucket in vectorized numpy (``applyInPandas``,
-    guide §4.2 shape): bucket membership is decided in the JVM
-    (``srp_bucket`` over plane literals — no Python, no extra shuffle)
-    and each (table, bucket) group crosses the Arrow boundary once as
+    Bucket assignment AND pair scoring both run in vectorized numpy
+    (``mapInPandas`` then per-group ``applyInPandas``, guide §4.2
+    shape): each (table, bucket) group crosses the Arrow boundary as
     VECTORS — O(corpus × n_tables) rows — never as pairs; the quadratic
     same-bucket pair stream exists only inside numpy. The scorer
     accumulates dot products and norms with one vectorized add per
@@ -254,33 +253,62 @@ def pairwise_cosine_neardup(
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType as _Dbl
-    from pyspark.sql.types import StructField, StructType
-
-    from milvus_cdc_spark.operators.salting import spread_scan
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
     dim_row = embeddings.select(F.size(vec_col)).first()
     dim = dim_row[0]
-    # srp_bucket is n_planes × dim interpreted-HOF ops per row — spread a
-    # low-split scan over the cores before paying it (r06: embeddings
-    # parquet is one row group, so assignment ran on 2 of 32 cores)
-    embeddings = spread_scan(embeddings)
     all_planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
-    tb = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                srp_bucket(F.col(vec_col), p).alias("bucket"),
-            )
-            for t, p in enumerate(all_planes)
+    id_type = embeddings.schema[id_col].dataType
+    vec_type = embeddings.schema[vec_col].dataType
+
+    # Bucket assignment runs in the SAME numpy regime as the scorer
+    # (mapInPandas): each plane's dot is the sequential per-dim fold, so
+    # the sign — hence the bucket — is bit-identical to the JVM
+    # ``srp_bucket`` HOF form (pinned by test against it). This keeps
+    # n_tables × n_planes × dim literal doubles OUT of the plan (the HOF
+    # form inlined ~1.2k literals, a measurable share of first-run
+    # planning+codegen) and replaces interpreted per-element lambdas
+    # with vectorized adds; the corpus crosses Arrow once extra, O(rows).
+    def assign(batches):
+        planes_t = [
+            np.ascontiguousarray(np.array(p, dtype=np.float64)) for p in all_planes
+        ]
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values])
+            out = []
+            for t, P in enumerate(planes_t):
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(P.shape[0]):
+                    acc = np.zeros(len(pdf))
+                    for k in range(mat.shape[1]):
+                        acc = acc + mat[:, k] * P[j, k]
+                    bucket += (acc > 0).astype(np.int64) * (1 << j)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__id": pdf[id_col].values,
+                            "__vec": pdf[vec_col].values,
+                            "__t": np.full(len(pdf), t, dtype=np.int32),
+                            "__bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    st1_schema = StructType(
+        [
+            StructField("__id", id_type),
+            StructField("__vec", vec_type),
+            StructField("__t", IntegerType()),
+            StructField("__bucket", LongType()),
         ]
     )
-    st1 = embeddings.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), F.explode(tb).alias("__tb")
-    ).select(
-        "__id", "__vec", F.col("__tb.t").alias("__t"), F.col("__tb.bucket").alias("__bucket")
+    st1 = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, schema=st1_schema
     )
-
-    id_type = embeddings.schema[id_col].dataType
     out_schema = StructType(
         [
             StructField("id_a", id_type),
