@@ -51,11 +51,19 @@ def cosine_topk(
     One scan + a driver-side top-k reduce (Spark's ``orderBy().limit(k)``
     is a per-partition partial top-k followed by a k-row merge — no full
     sort at scale). Score rounded to 6 dp for engine-portable comparison.
-    """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    The default (``impl="builtin"``) scores batches in numpy via
+    ``mapInPandas`` with the exact sequential per-dim fold of
+    :func:`_dot`/:func:`_norm` — bit-identical raw scores to the former
+    JVM HOF projection (pinned by test), but vectorized instead of
+    interpreted per element (r06: the HOF fold is the storm-fragile
+    part of the ann queries). Rounding and the top-k ordering stay in
+    Spark. ``impl="pandas"`` keeps the historical matmul variant (fast,
+    but its summation ORDER differs — tolerance-compared in tests, not
+    oracle-exact)."""
+    qlist = [float(x) for x in query_vec]
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     if impl == "pandas":
-        qlist = [float(x) for x in query_vec]
 
         @F.pandas_udf(DoubleType())
         def cos(col: pd.Series) -> pd.Series:
@@ -68,9 +76,36 @@ def cosine_topk(
 
         scored = embeddings.select(F.col(id_col), cos(F.col(vec_col)).alias("raw"))
     else:
-        scored = embeddings.select(
-            F.col(id_col),
-            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("raw"),
+        from pyspark.sql.types import StructField, StructType
+
+        def sc(batches):
+            import numpy as np
+
+            qv = np.asarray(qlist, dtype=np.float64)
+            for pdf in batches:
+                pdf = pdf[pdf[vec_col].notna()]
+                if not len(pdf):
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+                )
+                dot = np.zeros(len(pdf))
+                nsq = np.zeros(len(pdf))
+                for j in range(mat.shape[1]):
+                    dot = dot + mat[:, j] * qv[j]
+                    nsq = nsq + mat[:, j] * mat[:, j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    raw = dot / (np.sqrt(nsq) * qn)
+                yield pd.DataFrame({id_col: pdf[id_col].values, "raw": raw})
+
+        scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            sc,
+            schema=StructType(
+                [
+                    StructField(id_col, embeddings.schema[id_col].dataType),
+                    StructField("raw", DoubleType()),
+                ]
+            ),
         )
     return (
         scored.select(F.col(id_col), F.round(F.col("raw"), 6).alias("cosine"))
@@ -88,6 +123,66 @@ def srp_bucket(vec_col, planes: list[list[float]]):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bucket = bucket + F.when(_dot(vec_col, plane) > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bucket
+
+
+def srp_bucket_stage(
+    df: DataFrame, id_col: str, vec_col: str, planes_list: list[list[list[float]]]
+) -> DataFrame:
+    """All plane tables' SRP buckets in ONE numpy pass (``mapInPandas``):
+    emits (__id, __vec, __t, __bucket), one row per (input row, table).
+
+    Each plane's dot product is the sequential per-dim fold, so the
+    sign — and hence the bucket — is bit-identical to the JVM
+    :func:`srp_bucket` HOF form (pinned by test). Keeping the planes in
+    the Python closure also keeps tables × planes × dim literal doubles
+    OUT of the plan (the HOF form inlines them — ~1.2k literals at the
+    near-dup defaults, a measurable share of first-run planning and
+    codegen) and replaces interpreted per-element lambda evaluation
+    with vectorized adds. Rows with a NULL vector are dropped — they
+    can never appear in any consumer's output (their JVM-side cosine
+    would be NULL and fails every filter/threshold)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    def assign(batches):
+        planes_t = [np.array(p, dtype=np.float64) for p in planes_list]
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
+            )
+            out = []
+            for t, P in enumerate(planes_t):
+                bucket = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(P.shape[0]):
+                    acc = np.zeros(len(pdf))
+                    for k in range(mat.shape[1]):
+                        acc = acc + mat[:, k] * P[j, k]
+                    bucket += (acc > 0).astype(np.int64) * (1 << j)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "__id": pdf[id_col].values,
+                            "__vec": pdf[vec_col].values,
+                            "__t": np.full(len(pdf), t, dtype=np.int32),
+                            "__bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType),
+            StructField("__vec", df.schema[vec_col].dataType),
+            StructField("__t", IntegerType()),
+            StructField("__bucket", LongType()),
+        ]
+    )
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(assign, schema=schema)
 
 
 def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -158,8 +253,12 @@ def ann_lsh_topk(
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
     probes = probe_buckets(query_vec, planes, hamming=probe_hamming)
-    bucketed = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("__bucket").isin(probes)).drop("__bucket")
+    # numpy bucket pass (bit-identical to srp_bucket — see
+    # srp_bucket_stage); the probe filter runs in the JVM right above it
+    st = srp_bucket_stage(embeddings, id_col, vec_col, [planes])
+    cand = st.filter(F.col("__bucket").isin(probes)).select(
+        F.col("__id").alias(id_col), F.col("__vec").alias(vec_col)
+    )
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -253,62 +352,14 @@ def pairwise_cosine_neardup(
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType as _Dbl
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     dim_row = embeddings.select(F.size(vec_col)).first()
     dim = dim_row[0]
     all_planes = [make_planes(dim, n_planes, seed + t) for t in range(n_tables)]
     id_type = embeddings.schema[id_col].dataType
-    vec_type = embeddings.schema[vec_col].dataType
 
-    # Bucket assignment runs in the SAME numpy regime as the scorer
-    # (mapInPandas): each plane's dot is the sequential per-dim fold, so
-    # the sign — hence the bucket — is bit-identical to the JVM
-    # ``srp_bucket`` HOF form (pinned by test against it). This keeps
-    # n_tables × n_planes × dim literal doubles OUT of the plan (the HOF
-    # form inlined ~1.2k literals, a measurable share of first-run
-    # planning+codegen) and replaces interpreted per-element lambdas
-    # with vectorized adds; the corpus crosses Arrow once extra, O(rows).
-    def assign(batches):
-        planes_t = [
-            np.ascontiguousarray(np.array(p, dtype=np.float64)) for p in all_planes
-        ]
-        for pdf in batches:
-            pdf = pdf[pdf[vec_col].notna()]
-            if not len(pdf):
-                continue
-            mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values])
-            out = []
-            for t, P in enumerate(planes_t):
-                bucket = np.zeros(len(pdf), dtype=np.int64)
-                for j in range(P.shape[0]):
-                    acc = np.zeros(len(pdf))
-                    for k in range(mat.shape[1]):
-                        acc = acc + mat[:, k] * P[j, k]
-                    bucket += (acc > 0).astype(np.int64) * (1 << j)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "__id": pdf[id_col].values,
-                            "__vec": pdf[vec_col].values,
-                            "__t": np.full(len(pdf), t, dtype=np.int32),
-                            "__bucket": bucket,
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
-
-    st1_schema = StructType(
-        [
-            StructField("__id", id_type),
-            StructField("__vec", vec_type),
-            StructField("__t", IntegerType()),
-            StructField("__bucket", LongType()),
-        ]
-    )
-    st1 = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        assign, schema=st1_schema
-    )
+    st1 = srp_bucket_stage(embeddings, id_col, vec_col, all_planes)
     out_schema = StructType(
         [
             StructField("id_a", id_type),
