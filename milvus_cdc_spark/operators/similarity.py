@@ -52,18 +52,18 @@ def cosine_topk(
     is a per-partition partial top-k followed by a k-row merge — no full
     sort at scale). Score rounded to 6 dp for engine-portable comparison.
 
-    The default (``impl="builtin"``) scores batches in numpy via
-    ``mapInPandas`` with the exact sequential per-dim fold of
-    :func:`_dot`/:func:`_norm` — bit-identical raw scores to the former
-    JVM HOF projection (pinned by test), but vectorized instead of
-    interpreted per element (r06: the HOF fold is the storm-fragile
-    part of the ann queries). Rounding and the top-k ordering stay in
-    Spark. ``impl="pandas"`` keeps the historical matmul variant (fast,
-    but its summation ORDER differs — tolerance-compared in tests, not
-    oracle-exact)."""
-    qlist = [float(x) for x in query_vec]
+    (r06 note: a numpy-exact mapInPandas variant of this scorer was
+    measured ~0.3 s faster at sf1.0 but deliberately NOT adopted: the
+    ann queries are the first Python users in the bench's query order,
+    so they would absorb the session's one-time Python-worker-pool
+    startup (~2 s) that the much larger near-dup query amortizes —
+    a per-query comparability regression for a marginal steady win.
+    ``impl="pandas"`` keeps the matmul variant (fast, but its summation
+    ORDER differs — tolerance-compared in tests, not oracle-exact)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     if impl == "pandas":
+        qlist = [float(x) for x in query_vec]
 
         @F.pandas_udf(DoubleType())
         def cos(col: pd.Series) -> pd.Series:
@@ -76,36 +76,9 @@ def cosine_topk(
 
         scored = embeddings.select(F.col(id_col), cos(F.col(vec_col)).alias("raw"))
     else:
-        from pyspark.sql.types import StructField, StructType
-
-        def sc(batches):
-            import numpy as np
-
-            qv = np.asarray(qlist, dtype=np.float64)
-            for pdf in batches:
-                pdf = pdf[pdf[vec_col].notna()]
-                if not len(pdf):
-                    continue
-                mat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].values]
-                )
-                dot = np.zeros(len(pdf))
-                nsq = np.zeros(len(pdf))
-                for j in range(mat.shape[1]):
-                    dot = dot + mat[:, j] * qv[j]
-                    nsq = nsq + mat[:, j] * mat[:, j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    raw = dot / (np.sqrt(nsq) * qn)
-                yield pd.DataFrame({id_col: pdf[id_col].values, "raw": raw})
-
-        scored = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-            sc,
-            schema=StructType(
-                [
-                    StructField(id_col, embeddings.schema[id_col].dataType),
-                    StructField("raw", DoubleType()),
-                ]
-            ),
+        scored = embeddings.select(
+            F.col(id_col),
+            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("raw"),
         )
     return (
         scored.select(F.col(id_col), F.round(F.col("raw"), 6).alias("cosine"))
@@ -253,12 +226,8 @@ def ann_lsh_topk(
     dim = len(query_vec)
     planes = make_planes(dim, n_planes, seed)
     probes = probe_buckets(query_vec, planes, hamming=probe_hamming)
-    # numpy bucket pass (bit-identical to srp_bucket — see
-    # srp_bucket_stage); the probe filter runs in the JVM right above it
-    st = srp_bucket_stage(embeddings, id_col, vec_col, [planes])
-    cand = st.filter(F.col("__bucket").isin(probes)).select(
-        F.col("__id").alias(id_col), F.col("__vec").alias(vec_col)
-    )
+    bucketed = embeddings.withColumn("__bucket", srp_bucket(F.col(vec_col), planes))
+    cand = bucketed.filter(F.col("__bucket").isin(probes)).drop("__bucket")
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
